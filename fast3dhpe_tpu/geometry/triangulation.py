@@ -28,19 +28,24 @@ import jax.numpy as jnp
 
 
 def pinv_projection(P):
-    """Right pseudo-inverse of full-row-rank (..., 3, 4) projection matrices.
+    """Pseudo-inverse of (..., 3, 4) projection matrices, SVD-based.
 
-    Closed form P^T (P P^T)^{-1}: a batched 3x3 solve instead of the
-    generic SVD-based torch.linalg.pinv in the reference
-    [ref: models/cdrnet.py:236-237]. Exact for full-row-rank P.
+    Matches torch.linalg.pinv in the reference [ref: models/cdrnet.py:236-237].
+    The closed form P^T (P P^T)^{-1} was evaluated and rejected: real MADS
+    projection matrices have entries up to ~1e6, and squaring the condition
+    number through P P^T costs ~20% relative error in fp32, which the FTL
+    then feeds into the fusion features. The SVD of (..., 3, 4) is
+    negligible next to the encoder forward.
+
+    rtol=0 is essential: real P has singular values spanning ~[1, 2e6]
+    (translation vs. rotation columns), and jax's default relative cutoff
+    (~5e-6) silently truncates the smallest one, corrupting the result
+    entirely. torch keeps all singular values; so do we.
 
     Returns (..., 4, 3).
     """
     P = jnp.asarray(P, jnp.float32)
-    PPt = jnp.einsum("...ik,...jk->...ij", P, P)        # (..., 3, 3)
-    # solve (P P^T)^T X = P  =>  X = (P P^T)^{-1} P since PPt symmetric
-    X = jnp.linalg.solve(PPt, P)                         # (..., 3, 4)
-    return jnp.swapaxes(X, -1, -2)                       # (..., 4, 3)
+    return jnp.linalg.pinv(P, rtol=0.0)
 
 
 def _dlt_system(proj, points):

@@ -1,0 +1,36 @@
+"""PoseResNet: the single-view 2D heatmap network (Simple Baselines).
+
+[ref: models/poseresnet.py] encoder -> decoder; (B, 256, 256, 3) ->
+(B, 64, 64, J) heatmaps. Encoder-only pretrained loading (decoder re-init)
+is handled by the checkpoint importer (train/checkpoint.py), mirroring
+PoseResNet.init_weights [ref: models/poseresnet.py:23-38].
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .resnet import ResNetEncoder
+from .decoder import PoseDecoder
+
+
+class PoseResNet(nn.Module):
+    num_joints: int = 19
+    num_layers: int = 101
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        features = ResNetEncoder(num_layers=self.num_layers,
+                                 dtype=self.dtype, name="encoder")(x, train)
+        heatmaps = PoseDecoder(num_joints=self.num_joints,
+                               dtype=self.dtype, name="decoder")(features, train)
+        return heatmaps
+
+    @classmethod
+    def from_config(cls, cfg, dtype=jnp.float32):
+        return cls(num_joints=cfg.MODEL.NUM_JOINTS,
+                   num_layers=cfg.MODEL.NUM_LAYERS, dtype=dtype)

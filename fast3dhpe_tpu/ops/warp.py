@@ -1,0 +1,105 @@
+"""Batched affine image warp (bilinear), on device.
+
+Replaces the per-sample host cv2.warpAffine calls in the reference's data
+path [ref: dataset/base.py:88-92, dataset/mads_3d.py:204-213,
+tools/load.py:47-57] with one batched XLA gather program: the whole batch
+(and both stereo views) is warped in a single call, optionally fused with
+normalization downstream under the same jit.
+
+Matches cv2.warpAffine(..., flags=INTER_LINEAR) semantics: the 2x3 matrix
+maps SRC -> DST, pixels are sampled at the inverse-mapped location with
+bilinear interpolation, and out-of-bounds samples are the constant 0
+(cv2 BORDER_CONSTANT default). cv2 quantizes interpolation weights to 5
+fractional bits; we use full float weights, so outputs differ by at most a
+couple of intensity levels (see tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _invert_affine(trans):
+    """Invert a (..., 2, 3) affine matrix."""
+    A = trans[..., :, :2]                                 # (..., 2, 2)
+    b = trans[..., :, 2]                                  # (..., 2)
+    det = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+    inv = jnp.stack([
+        jnp.stack([A[..., 1, 1], -A[..., 0, 1]], axis=-1),
+        jnp.stack([-A[..., 1, 0], A[..., 0, 0]], axis=-1),
+    ], axis=-2) / det[..., None, None]
+    b_inv = -jnp.einsum("...ij,...j->...i", inv, b)
+    return jnp.concatenate([inv, b_inv[..., None]], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def affine_warp(images, trans, out_size):
+    """Warp a batch of images with per-image 2x3 affines (src -> dst).
+
+    Args:
+      images: (B, H, W, C) uint8 or float.
+      trans: (B, 2, 3) or (2, 3) affine mapping src coords to dst coords.
+      out_size: (W_out, H_out) — width first, matching the reference's
+        cv2.warpAffine call signature.
+    Returns:
+      (B, H_out, W_out, C) float32 warped images.
+    """
+    W_out, H_out = out_size
+    images = jnp.asarray(images)
+    B, H, W, C = images.shape
+    imgs = images.astype(jnp.float32)
+
+    trans = jnp.asarray(trans, jnp.float32)
+    if trans.ndim == 2:
+        trans = jnp.broadcast_to(trans, (B, 2, 3))
+    inv = _invert_affine(trans)                           # (B, 2, 3)
+
+    xs = jnp.arange(W_out, dtype=jnp.float32)
+    ys = jnp.arange(H_out, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)                         # (H_out, W_out)
+    dst = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (H_out, W_out, 3)
+    src = jnp.einsum("bij,hwj->bhwi", inv, dst)           # (B, H_out, W_out, 2)
+    sx, sy = src[..., 0], src[..., 1]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+
+    def gather(yi, xi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        vals = jax.vmap(lambda img, yy, xx: img[yy, xx])(imgs, yi_c, xi_c)
+        return jnp.where(valid[..., None], vals, 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@jax.jit
+def normalize_imagenet(images):
+    """uint8/float [0,255] RGB -> ImageNet-normalized float32.
+
+    Equivalent of torchvision ToTensor + Normalize [ref: dataset/base.py:32-36]
+    but batched on device and kept NHWC.
+    """
+    x = jnp.asarray(images).astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (x - mean) / std
