@@ -1,0 +1,164 @@
+"""Compiled train/eval step functions for the 2D backbone and CDRNet.
+
+Each factory closes over the model + loss and returns jit-compiled steps.
+Under a mesh, the loaders place batches with `parallel.shard_batch`
+(batch axis sharded) and the state replicated; XLA's sharding propagation
+turns the gradient reduction into a psum over ICI — no explicit
+collectives needed.
+
+The per-step metric computation stays on device (the reference syncs to
+host numpy every step [ref: train.py:99-100]); only scalars leave.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.metrics import pck_accuracy, calc_mpjpe
+from .state import TrainState, clip_grads_by_norm, global_grad_norm
+
+
+def make_train_step_2d(model, loss_fn) -> Callable:
+    """Train step for PoseResNet heatmap regression. [ref: train.py:84-107]
+
+    batch: {"image": (B, H, W, 3), "target": (B, h, w, J),
+            "target_weight": (B, J)}
+    """
+
+    @jax.jit
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        def loss_of(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"])
+            loss = loss_fn(out, batch["target"], batch["target_weight"])
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        acc, _, _ = pck_accuracy(out, batch["target"])
+        metrics = {"loss": loss, "acc": acc,
+                   "grad_norm": global_grad_norm(grads)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step_2d(model, loss_fn) -> Callable:
+    @jax.jit
+    def eval_step(state: TrainState, batch) -> Dict:
+        out = model.apply(state.variables, batch["image"], train=False)
+        loss = loss_fn(out, batch["target"], batch["target_weight"])
+        acc, _, _ = pck_accuracy(out, batch["target"])
+        return {"loss": loss, "acc": acc}
+
+    return eval_step
+
+
+def _cdr_loss(model, loss_fn, params, batch_stats, batch, use_3d,
+              loss_3d_weight, scale_3d, base_joint, num_joints, train):
+    """Shared CDR loss: 2D-only during warmup, 4*3D + 2D after.
+    [ref: train_cdr.py:105-125]
+
+    During TRAINING, root-relative alignment subtracts the base joint from
+    every OTHER joint; the base joint itself keeps absolute coordinates
+    (exactly the reference's masked in-place subtraction
+    [ref: train_cdr.py:107-110]). The reference's EVAL loop skips the
+    alignment entirely and computes loss + MPJPE on absolute coordinates
+    [ref: train_cdr.py:180-201] — that inconsistency is preserved for
+    parity. `use_3d` is a traced boolean so the warmup->3D switch does not
+    recompile.
+    """
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        (pred_2d, pred_3d), mutated = model.apply(
+            variables, batch["image"], batch["proj"], train=True,
+            mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        pred_2d, pred_3d = model.apply(
+            variables, batch["image"], batch["proj"], train=False)
+        new_stats = batch_stats
+
+    target_3d = batch["target_3d"]
+    w = batch["target_weight"]
+
+    if train:
+        not_base = (jnp.arange(num_joints) != base_joint)[None, :, None]
+        pred_3d_rel = jnp.where(
+            not_base, pred_3d - pred_3d[:, base_joint:base_joint + 1],
+            pred_3d)
+        target_3d_rel = jnp.where(
+            not_base, target_3d - target_3d[:, base_joint:base_joint + 1],
+            target_3d)
+    else:
+        pred_3d_rel, target_3d_rel = pred_3d, target_3d
+
+    loss_2d = (loss_fn(pred_2d[:, 0], batch["target_2d"][:, 0], w)
+               + loss_fn(pred_2d[:, 1], batch["target_2d"][:, 1], w))
+    loss_3d = loss_fn(pred_3d_rel * scale_3d, target_3d_rel * scale_3d, w)
+
+    use_3d = jnp.asarray(use_3d)
+    loss = loss_2d + jnp.where(use_3d, loss_3d_weight * loss_3d, 0.0)
+    aux = {"pred_2d": pred_2d, "pred_3d": pred_3d,
+           "pred_3d_rel": pred_3d_rel, "target_3d_rel": target_3d_rel,
+           "new_stats": new_stats, "loss_2d": loss_2d, "loss_3d": loss_3d}
+    return loss, aux
+
+
+def make_train_step_cdr(model, loss_fn, loss_3d_weight: float = 4.0,
+                        scale_3d: float = 0.1, base_joint: int = 1,
+                        num_joints: int = 19,
+                        clip_norm: float = 100.0) -> Callable:
+    """CDR train step. [ref: train_cdr.py:86-135]
+
+    batch: {"image": (B, V, H, W, 3), "proj": (B, V, 3, 4),
+            "target_3d": (B, J, 3), "target_2d": (B, V, J, 2),
+            "target_weight": (B, J)}
+    use_3d: traced bool — False during warmup epochs.
+    """
+
+    @jax.jit
+    def train_step(state: TrainState, batch, use_3d):
+        def loss_of(params):
+            return _cdr_loss(model, loss_fn, params, state.batch_stats,
+                             batch, use_3d, loss_3d_weight, scale_3d,
+                             base_joint, num_joints, train=True)
+
+        (loss, aux), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        # clip only post-warmup [ref: train_cdr.py:132-133]
+        grads, grad_norm = clip_grads_by_norm(grads, clip_norm, use_3d)
+        new_state = state.apply_gradients(
+            grads, new_batch_stats=aux["new_stats"])
+        metrics = {"loss": loss, "loss_2d": aux["loss_2d"],
+                   "loss_3d": aux["loss_3d"], "grad_norm": grad_norm}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step_cdr(model, loss_fn, loss_3d_weight: float = 4.0,
+                       scale_3d: float = 0.1, base_joint: int = 1,
+                       num_joints: int = 19) -> Callable:
+    """CDR eval step: loss + on-device 2D/3D MPJPE.
+    [ref: train_cdr.py:153-203]"""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch, use_3d):
+        loss, aux = _cdr_loss(model, loss_fn, state.params,
+                              state.batch_stats, batch, use_3d,
+                              loss_3d_weight, scale_3d, base_joint,
+                              num_joints, train=False)
+        err_2d, err_3d = calc_mpjpe(
+            aux["pred_2d"], aux["pred_3d"], batch["target_3d"],
+            batch["target_2d"][:, 0], batch["target_2d"][:, 1],
+            batch["target_weight"])
+        return {"loss": loss, "mpjpe_2d": err_2d, "mpjpe_3d": err_3d}
+
+    return eval_step

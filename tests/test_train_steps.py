@@ -1,0 +1,163 @@
+"""Train-step tests: learning happens, sharded == single-device, CDR
+warmup semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fast3dhpe_tpu.models import PoseResNet, CDRNet, make_loss
+from fast3dhpe_tpu.train.state import TrainState, make_optimizer, multistep_lr
+from fast3dhpe_tpu.train.steps import (
+    make_train_step_2d, make_eval_step_2d,
+    make_train_step_cdr, make_eval_step_cdr)
+from fast3dhpe_tpu.parallel import make_mesh, shard_batch, replicate
+from fast3dhpe_tpu.ops import render_gaussian_heatmaps
+
+rng = np.random.RandomState(0)
+
+
+def make_2d_batch(B=8, H=64, J=4, hm=16):
+    img = rng.randn(B, H, H, 3).astype(np.float32)
+    joints = rng.uniform(5, H - 5, size=(B, J, 2)).astype(np.float32)
+    vis = np.ones((B, J), np.float32)
+    target, weight = render_gaussian_heatmaps(
+        joints, vis, (hm, hm), (H, H), sigma=1)
+    return {"image": jnp.asarray(img), "target": target,
+            "target_weight": weight}
+
+
+def make_2d_state(J=4, lr=1e-3):
+    model = PoseResNet(num_joints=J, num_layers=18)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    tx = optax.adam(lr)
+    return model, TrainState.create(variables, tx)
+
+
+class TestTrain2D:
+    def test_loss_decreases(self):
+        model, state = make_2d_state()
+        loss_fn = make_loss("JointsMSE", True, layout="NHWC")
+        step = make_train_step_2d(model, loss_fn)
+        batch = make_2d_batch()
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.9, losses
+        assert int(state.step) == 8
+
+    def test_eval_step(self):
+        model, state = make_2d_state()
+        loss_fn = make_loss("JointsMSE", True, layout="NHWC")
+        ev = make_eval_step_2d(model, loss_fn)
+        m = ev(state, make_2d_batch())
+        assert np.isfinite(float(m["loss"]))
+        assert 0.0 <= float(m["acc"]) <= 1.0
+
+    def test_batch_stats_update(self):
+        model, state = make_2d_state()
+        loss_fn = make_loss("JointsMSE", True, layout="NHWC")
+        step = make_train_step_2d(model, loss_fn)
+        before = np.asarray(
+            state.batch_stats["encoder"]["bn1"]["mean"]).copy()
+        state, _ = step(state, make_2d_batch())
+        after = np.asarray(state.batch_stats["encoder"]["bn1"]["mean"])
+        assert not np.allclose(before, after)
+
+
+class TestSharded:
+    def test_sharded_step_matches_single_device(self):
+        """Batch-sharded train step over the 8-device CPU mesh produces the
+        same result as the unsharded one (SURVEY §4 requirement)."""
+        assert len(jax.devices()) >= 8, jax.devices()
+        model, state = make_2d_state()
+        loss_fn = make_loss("JointsMSE", True, layout="NHWC")
+        step = make_train_step_2d(model, loss_fn)
+        batch = make_2d_batch(B=8)
+
+        # single device
+        s1, m1 = step(state, batch)
+
+        # sharded
+        mesh = make_mesh(8)
+        sharded_batch = shard_batch(mesh, batch)
+        state_r = replicate(mesh, state)
+        s2, m2 = step(state_r, sharded_batch)
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                  rel=1e-4)
+        p1 = np.asarray(s1.params["decoder"]["final_layer"]["kernel"])
+        p2 = np.asarray(s2.params["decoder"]["final_layer"]["kernel"])
+        np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-6)
+
+
+def stereo_proj_batch(B):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_geometry import random_camera
+    from fast3dhpe_tpu.geometry import get_projection_matrix
+    Ps = []
+    for seed in (100, 101):
+        K, R, T, _ = random_camera(seed)
+        Ps.append(np.asarray(get_projection_matrix(K, R, T))[:3])
+    return np.broadcast_to(np.stack(Ps), (B, 2, 3, 4)).astype(np.float32)
+
+
+def make_cdr_batch(B=2, J=19, H=64):
+    from fast3dhpe_tpu.geometry import project_points
+    img = rng.randn(B, 2, H, H, 3).astype(np.float32)
+    proj = stereo_proj_batch(B)
+    t3d = (rng.randn(B, J, 3) * 200).astype(np.float32)
+    t2d = np.stack([
+        np.asarray(project_points(t3d, proj[:, 0])),
+        np.asarray(project_points(t3d, proj[:, 1]))], axis=1)
+    w = np.ones((B, J), np.float32)
+    return {"image": jnp.asarray(img), "proj": jnp.asarray(proj),
+            "target_3d": jnp.asarray(t3d), "target_2d": jnp.asarray(t2d),
+            "target_weight": jnp.asarray(w)}
+
+
+class TestTrainCDR:
+    def test_step_runs_and_warmup_switch(self):
+        model = CDRNet(num_joints=19, num_layers=18)
+        batch = make_cdr_batch()
+        variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                               batch["proj"], train=False)
+        state = TrainState.create(variables, optax.adam(1e-4))
+        loss_fn = make_loss("JointsMSESmooth", True)
+        step = make_train_step_cdr(model, loss_fn)
+
+        s1, m_warm = step(state, batch, jnp.asarray(False))
+        s2, m_full = step(state, batch, jnp.asarray(True))
+        # warmup loss is 2D-only; post-warmup adds the weighted 3D term
+        assert float(m_warm["loss"]) == pytest.approx(
+            float(m_warm["loss_2d"]), rel=1e-5)
+        assert float(m_full["loss"]) == pytest.approx(
+            float(m_full["loss_2d"]) + 4.0 * float(m_full["loss_3d"]),
+            rel=1e-4)
+        assert np.isfinite(float(m_full["grad_norm"]))
+
+    def test_eval_step_mpjpe(self):
+        model = CDRNet(num_joints=19, num_layers=18)
+        batch = make_cdr_batch()
+        variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                               batch["proj"], train=False)
+        state = TrainState.create(variables, optax.adam(1e-4))
+        loss_fn = make_loss("JointsMSESmooth", True)
+        ev = make_eval_step_cdr(model, loss_fn)
+        m = ev(state, batch, jnp.asarray(True))
+        for k in ("loss", "mpjpe_2d", "mpjpe_3d"):
+            assert np.isfinite(float(m[k])), k
+
+
+class TestSchedule:
+    def test_multistep_lr(self):
+        sched = multistep_lr(1e-3, [2, 4], 0.1, steps_per_epoch=10)
+        assert float(sched(0)) == pytest.approx(1e-3)
+        assert float(sched(19)) == pytest.approx(1e-3)
+        assert float(sched(20)) == pytest.approx(1e-4)
+        assert float(sched(40)) == pytest.approx(1e-5)
