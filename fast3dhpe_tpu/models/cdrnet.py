@@ -9,9 +9,9 @@ TPU-first re-design of the reference CDRNet [ref: models/cdrnet.py:88-268]
 - The FTL (feature transform layer) bmm [ref: models/cdrnet.py:45-56]
   becomes a single einsum vectorized over views.
 - The per-joint Python loop of SVD DLTs [ref: models/cdrnet.py:263-265]
-  becomes one batched (B, J) SVD (geometry/triangulation.py).
+  becomes one batched (B, J) one-sided Jacobi SVD (ops/small_svd.py).
 - torch.linalg.pinv of the 3x4 projections [ref: models/cdrnet.py:236-237]
-  becomes the closed-form right pseudo-inverse (3x3 solve).
+  uses the same batched Jacobi SVD (generic XLA svd costs 100x more here).
 
 Gradients flow through soft-argmax and the DLT SVD back into the decoders,
 fusion and encoder — the end-to-end 3D training path is preserved.
@@ -133,7 +133,7 @@ class CDRNet(nn.Module):
     n_views: int = 2
     fusion_hid_ch1: int = 300
     fusion_hid_ch2: int = 400
-    dlt_method: str = "svd"
+    dlt_method: str = "jacobi"
     dtype: Any = jnp.float32
 
     @nn.compact
