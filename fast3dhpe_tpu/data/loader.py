@@ -1,0 +1,346 @@
+"""Host loaders: decode + per-sample randomness, feeding the device pipeline.
+
+Replaces the reference's torch DataLoader with 8 worker processes
+[ref: tools/load.py:118-132]. Responsibilities are split TPU-first:
+host threads only decode JPEGs and draw per-sample affine randomness
+(exact reference distributions [ref: dataset/base.py:74-86]); the batched
+warp / occlusion / normalization / target math runs on device
+(data/device_pipeline.py). A background prefetch thread keeps one batch
+in flight.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+import jax
+
+from ..geometry.affine import (
+    get_affine_transform, affine_transform_points, fliplr_joints)
+from .mads import (build_mads_index, build_mads_stereo_index,
+                   MADS_FLIP_PAIRS)
+from .mpii import build_mpii_index, MPII_FLIP_PAIRS
+from .device_pipeline import preprocess_stereo_batch, preprocess_mono_batch
+
+
+def _imread(path: str) -> np.ndarray:
+    """BGR uint8 read, matching the reference's cv2.imread channel order
+    (the pretrained stats are computed on BGR frames too — parity over
+    plumage)."""
+    try:
+        import cv2
+        img = cv2.imread(path, getattr(cv2, "IMREAD_COLOR", 1))
+        if img is None:
+            raise ValueError(f"Fail to read {path}")
+        return img
+    except ImportError:
+        from PIL import Image
+        img = np.asarray(Image.open(path).convert("RGB"))
+        return img[:, :, ::-1]  # RGB -> BGR
+
+
+def _prefetch(gen: Iterator, depth: int = 2) -> Iterator:
+    """Run `gen` in a background thread with a bounded queue."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    error_box: List = []
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            error_box.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error_box:
+                raise error_box[0]
+            return
+        yield item
+
+
+def _train_scale_rot(rng: np.random.RandomState, sf: float, rf: float):
+    """Reference's random scale/rotation draws [ref: dataset/base.py:74-78]."""
+    s = np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
+    r = np.clip(rng.randn() * rf, -rf * 2, rf * 2) \
+        if rng.random_sample() <= 0.6 else 0.0
+    return s, r
+
+
+class Stereo3DLoader:
+    """MADS stereo batches for CDRNet training/eval.
+
+    Yields device-ready dicts (see preprocess_stereo_batch). The final
+    partial batch is padded by repeating the last record (static shapes
+    for jit); `n_valid` reports the unpadded count.
+    """
+
+    def __init__(self, cfg, image_set: str, mesh=None, seed: int = 0,
+                 decode_threads: int = 4):
+        self.cfg = cfg
+        self.image_set = image_set
+        self.train = image_set == cfg.DATASET.TRAIN_SET
+        self.records = build_mads_stereo_index(cfg.DATASET.ROOT, image_set)
+        self.batch_size = (cfg.TRAIN.BATCH_SIZE if self.train
+                           else cfg.TEST.BATCH_SIZE)
+        self.image_size = tuple(cfg.MODEL.IMAGE_SIZE)
+        self.occlusion = cfg.DATASET.OCCLUSION
+        self.scale_factor = cfg.DATASET.SCALE_FACTOR
+        self.rot_factor = cfg.DATASET.ROT_FACTOR
+        self.mesh = mesh
+        self.seed = seed
+        self._epoch = 0
+        self._pool = ThreadPoolExecutor(max_workers=decode_threads)
+
+    def __len__(self):
+        return math.ceil(len(self.records) / self.batch_size)
+
+    @property
+    def num_samples(self):
+        return len(self.records)
+
+    def _host_batch(self, recs: List[dict], rng: np.random.RandomState):
+        imgs_l = list(self._pool.map(
+            lambda r: _imread(r["image_left"]), recs))
+        imgs_r = list(self._pool.map(
+            lambda r: _imread(r["image_right"]), recs))
+
+        B = len(recs)
+        trans = np.zeros((B, 2, 3), np.float64)
+        for i, rec in enumerate(recs):
+            h, w = imgs_l[i].shape[:2]
+            c = np.array([w / 2, h / 2])
+            s, r = (1.0, 0.0)
+            if self.train:
+                s, r = _train_scale_rot(rng, self.scale_factor,
+                                        self.rot_factor)
+            trans[i] = get_affine_transform(c, s, r, min(h, w),
+                                            self.image_size)
+        return {
+            "img_l": np.stack(imgs_l),
+            "img_r": np.stack(imgs_r),
+            "trans": trans.astype(np.float32),
+            "P_l": np.stack([r["P_left"] for r in recs]).astype(np.float32),
+            "P_r": np.stack([r["P_right"] for r in recs]).astype(np.float32),
+            "pose_3d": np.stack([r["pose_3d"] for r in recs])
+                .astype(np.float32),
+            "joints_vis": np.stack([r["joints_vis"][:, 0] for r in recs])
+                .astype(np.float32),
+        }
+
+    def _epoch_host_batches(self, rng):
+        order = (rng.permutation(len(self.records)) if self.train
+                 else np.arange(len(self.records)))
+        B = self.batch_size
+        for start in range(0, len(order), B):
+            idx = order[start:start + B]
+            recs = [self.records[i] for i in idx]
+            n_valid = len(recs)
+            while len(recs) < B:                        # pad final batch
+                recs.append(recs[-1])
+            yield n_valid, self._host_batch(recs, rng)
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed + self._epoch)
+        key = jax.random.PRNGKey(self.seed * 10007 + self._epoch)
+        self._epoch += 1
+
+        def gen():
+            nonlocal key
+            for n_valid, hb in self._epoch_host_batches(rng):
+                key, sub = jax.random.split(key)
+                batch = preprocess_stereo_batch(
+                    sub, hb["img_l"], hb["img_r"], hb["trans"],
+                    hb["P_l"], hb["P_r"], hb["pose_3d"], hb["joints_vis"],
+                    image_size=self.image_size,
+                    occlusion=(self.occlusion if self.train else None),
+                    train=self.train)
+                if self.mesh is not None:
+                    from ..parallel import shard_batch
+                    batch = shard_batch(self.mesh, batch)
+                batch["n_valid"] = n_valid
+                yield batch
+
+        return _prefetch(gen())
+
+
+class Mono2DLoader:
+    """Single-view batches for PoseResNet training/eval (MPII / MADS_2d).
+
+    Per-sample flip/scale/rot randomness and the joint-coordinate affine
+    happen on host exactly as the reference [ref: dataset/base.py:56-98];
+    image warping happens on host only for variable-size sources (MPII),
+    via the same affine; heatmap rendering + normalization run batched on
+    device.
+    """
+
+    def __init__(self, cfg, image_set: str, mesh=None, seed: int = 0,
+                 decode_threads: int = 4):
+        self.cfg = cfg
+        self.image_set = image_set
+        self.train = image_set == cfg.DATASET.TRAIN_SET
+        dataset_type = cfg.DATASET.TYPE
+        if dataset_type == "MPII":
+            self.records = build_mpii_index(cfg.DATASET.ROOT, image_set,
+                                            cfg.MODEL.NUM_JOINTS)
+            self.flip_pairs = MPII_FLIP_PAIRS
+            self.origin_size_fn = lambda img, rec: 200  # MPII scale units
+        elif dataset_type == "MADS_2d":
+            self.records = build_mads_index(cfg.DATASET.ROOT, image_set)
+            self.flip_pairs = MADS_FLIP_PAIRS
+            self.origin_size_fn = lambda img, rec: min(img.shape[:2])
+        else:
+            raise NotImplementedError(dataset_type)
+        self.dataset_type = dataset_type
+        self.batch_size = (cfg.TRAIN.BATCH_SIZE if self.train
+                           else cfg.TEST.BATCH_SIZE)
+        self.image_size = tuple(cfg.MODEL.IMAGE_SIZE)
+        self.heatmap_size = tuple(cfg.MODEL.EXTRA.HEATMAP_SIZE)
+        self.sigma = cfg.MODEL.EXTRA.SIGMA
+        self.flip = cfg.DATASET.FLIP
+        self.scale_factor = cfg.DATASET.SCALE_FACTOR
+        self.rot_factor = cfg.DATASET.ROT_FACTOR
+        self.mesh = mesh
+        self.seed = seed
+        self._epoch = 0
+        self._pool = ThreadPoolExecutor(max_workers=decode_threads)
+
+    def __len__(self):
+        return math.ceil(len(self.records) / self.batch_size)
+
+    @property
+    def num_samples(self):
+        return len(self.records)
+
+    def _prepare_sample(self, rec, aug):
+        """aug: (scale_mult, rot_deg, do_flip) drawn on the main thread —
+        RandomState is not thread-safe, so randomness never crosses into
+        the decode pool."""
+        img = _imread(rec["image"])
+        h, w = img.shape[:2]
+
+        if self.dataset_type == "MPII":
+            c = rec["center"].copy()
+            s = rec["scale"].copy()
+            joints = rec["joints"][:, :2].copy()
+            vis = rec["joints_vis"].copy()
+        else:
+            c = np.array([w / 2, h / 2])
+            s = np.array([1.0, 1.0])
+            joints = rec["joints"][:, :2].copy()
+            vis = rec["joints_vis"].copy()
+        origin_size = self.origin_size_fn(img, rec)
+
+        s_mult, r, do_flip = aug
+        s = s * s_mult
+        if do_flip:
+            img = img[:, ::-1, :]
+            joints3 = np.concatenate(
+                [joints, np.zeros((joints.shape[0], 1))], axis=1)
+            joints3, vis = fliplr_joints(joints3, vis, img.shape[1],
+                                         self.flip_pairs)
+            joints = joints3[:, :2]
+            c[0] = img.shape[1] - c[0] - 1
+
+        trans = get_affine_transform(c, s, r, origin_size, self.image_size)
+        warped = self._warp_host(img, trans)
+        # transform only visible joints [ref: dataset/base.py:94-96]
+        visible = vis[:, 0] > 0
+        joints_t = joints.copy()
+        if visible.any():
+            joints_t[visible] = affine_transform_points(
+                joints[visible], trans)
+        return warped, joints_t, vis[:, 0]
+
+    def _warp_host(self, img, trans):
+        try:
+            import cv2
+            return cv2.warpAffine(
+                img, trans,
+                (int(self.image_size[0]), int(self.image_size[1])),
+                flags=cv2.INTER_LINEAR)
+        except ImportError:
+            from ..ops.warp import affine_warp
+            out = affine_warp(img[None], trans, self.image_size)
+            return np.asarray(out[0]).astype(np.uint8)
+
+    def _epoch_host_batches(self, rng):
+        order = (rng.permutation(len(self.records)) if self.train
+                 else np.arange(len(self.records)))
+        B = self.batch_size
+        for start in range(0, len(order), B):
+            idx = list(order[start:start + B])
+            n_valid = len(idx)
+            while len(idx) < B:
+                idx.append(idx[-1])
+            augs = []
+            for _ in idx:
+                if self.train:
+                    s_mult, r = _train_scale_rot(rng, self.scale_factor,
+                                                 self.rot_factor)
+                    do_flip = self.flip and rng.random_sample() <= 0.5
+                else:
+                    s_mult, r, do_flip = 1.0, 0.0, False
+                augs.append((s_mult, r, do_flip))
+            samples = list(self._pool.map(
+                lambda ia: self._prepare_sample(self.records[ia[0]], ia[1]),
+                zip(idx, augs)))
+            imgs = np.stack([s[0] for s in samples])
+            joints = np.stack([s[1] for s in samples]).astype(np.float32)
+            vis = np.stack([s[2] for s in samples]).astype(np.float32)
+            yield n_valid, imgs, joints, vis
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed + self._epoch)
+        self._epoch += 1
+
+        def gen():
+            from ..ops.warp import normalize_imagenet
+            from ..ops.heatmap import render_gaussian_heatmaps
+            for n_valid, imgs, joints, vis in self._epoch_host_batches(rng):
+                target, weight = render_gaussian_heatmaps(
+                    joints, vis, self.heatmap_size, self.image_size,
+                    self.sigma)
+                batch = {
+                    "image": normalize_imagenet(imgs),
+                    "target": target,
+                    "target_weight": weight,
+                }
+                if self.mesh is not None:
+                    from ..parallel import shard_batch
+                    batch = shard_batch(self.mesh, batch)
+                batch["n_valid"] = n_valid
+                yield batch
+
+        return _prefetch(gen())
+
+
+def load_data(config, mesh=None, seed: int = 0):
+    """Dataset dispatch mirroring the reference [ref: tools/load.py:105-134].
+
+    Returns (train_loader, valid_loader).
+    """
+    t = config.DATASET.TYPE
+    if t in ("MPII", "MADS_2d"):
+        cls = Mono2DLoader
+    elif t == "MADS_3d":
+        cls = Stereo3DLoader
+    else:
+        raise NotImplementedError(t)
+    train_loader = cls(config, config.DATASET.TRAIN_SET, mesh=mesh,
+                       seed=seed)
+    valid_loader = cls(config, config.DATASET.TEST_SET, mesh=mesh,
+                       seed=seed + 1)
+    return train_loader, valid_loader

@@ -1,0 +1,211 @@
+"""Data pipeline integration tests on a synthetic MADS-format tree."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fast3dhpe_tpu.config import config_from_dict
+from fast3dhpe_tpu.data.synthetic import make_synthetic_mads, synthetic_rig
+from fast3dhpe_tpu.data import (
+    build_mads_index, build_mads_stereo_index, load_data, LoadMADSData)
+from fast3dhpe_tpu.data.loader import Stereo3DLoader, Mono2DLoader
+from fast3dhpe_tpu.geometry import project_points
+
+
+@pytest.fixture(scope="module")
+def mads_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mads")
+    make_synthetic_mads(str(root), n_frames=6, nan_joint_every=3)
+    return str(root)
+
+
+def make_cfg(root, dataset_type="MADS_3d", batch=4, occl="CUTOUT"):
+    return config_from_dict({
+        "DATASET": {"TYPE": dataset_type, "ROOT": root,
+                    "TRAIN_SET": "train", "TEST_SET": "valid",
+                    "FLIP": True, "ROT_FACTOR": 30, "SCALE_FACTOR": 0.25,
+                    "OCCLUSION": occl},
+        "MODEL": {"NUM_JOINTS": 19, "NUM_LAYERS": 50, "NAME": "t",
+                  "IMAGE_SIZE": [256, 256],
+                  "EXTRA": {"TARGET_TYPE": "gaussian", "SIGMA": 3,
+                            "HEATMAP_SIZE": [64, 64]}},
+        "TRAIN": {"BATCH_SIZE": batch, "EPOCH": 1, "LR": 1e-4,
+                  "LR_STEP": [40], "LR_FACTOR": 0.1, "WARMUP": 0},
+        "TEST": {"BATCH_SIZE": batch},
+        "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSESmooth"},
+    })
+
+
+class TestIndexBuilders:
+    def test_stereo_index(self, mads_root):
+        recs = build_mads_stereo_index(mads_root, "train")
+        assert len(recs) == 6
+        r = recs[0]
+        assert r["P_left"].shape == (4, 4)
+        assert r["pose_3d"].shape == (19, 3)
+        assert not np.isnan(r["pose_3d"]).any()      # NaNs zeroed
+        # frame 0 has a NaN joint -> visibility zero
+        assert r["joints_vis"].shape == (19, 1)
+        assert r["joints_vis"].sum() == 18
+        # frame 1 has no NaN
+        assert recs[1]["joints_vis"].sum() == 19
+
+    def test_mono_index(self, mads_root):
+        recs = build_mads_index(mads_root, "valid")
+        assert len(recs) == 6
+        assert recs[0]["joints"].shape == (19, 3)
+
+    def test_projection_consistency(self, mads_root):
+        """GT 2D from the index projects consistently with the rig."""
+        recs = build_mads_stereo_index(mads_root, "train")
+        r = recs[1]
+        uv = np.asarray(project_points(r["pose_3d"], r["P_right"]))
+        uv2 = build_mads_index(mads_root, "train")[1]["joints"][:, :2]
+        np.testing.assert_allclose(uv, uv2, atol=0.1)
+
+
+class TestStereoLoader:
+    def test_eval_batches(self, mads_root):
+        cfg = make_cfg(mads_root)
+        loader = Stereo3DLoader(cfg, "valid")
+        batches = list(loader)
+        assert len(batches) == 2                      # 6 samples / 4
+        b = batches[0]
+        assert b["image"].shape == (4, 2, 256, 256, 3)
+        assert b["proj"].shape == (4, 2, 3, 4)
+        assert b["target_2d"].shape == (4, 2, 19, 2)
+        assert b["target_3d"].shape == (4, 19, 3)
+        assert b["target_weight"].shape == (4, 19)
+        assert b["n_valid"] == 4
+        assert batches[1]["n_valid"] == 2             # padded
+        # normalized images are roughly ImageNet-scaled
+        img = np.asarray(b["image"])
+        assert -4 < img.min() and img.max() < 4
+
+    def test_gt2d_matches_projection_through_composed_P(self, mads_root):
+        """target_2d == pose_3d projected through the composed P — the
+        P <- T @ P math of the device pipeline [ref mads_3d.py:223-226]."""
+        cfg = make_cfg(mads_root)
+        b = next(iter(Stereo3DLoader(cfg, "valid")))
+        uv = np.asarray(project_points(
+            jnp.asarray(b["target_3d"]), jnp.asarray(b["proj"][:, 0])))
+        np.testing.assert_allclose(uv, np.asarray(b["target_2d"][:, 0]),
+                                   rtol=1e-3, atol=0.1)
+
+    def test_dots_land_at_projections(self, mads_root):
+        """The synthetic frames contain bright dots at the GT projections;
+        after warping, the warped image must be bright at target_2d."""
+        cfg = make_cfg(mads_root)
+        b = next(iter(Stereo3DLoader(cfg, "valid")))
+        img = np.asarray(b["image"][:, 0])            # (B, H, W, 3)
+        uv = np.asarray(b["target_2d"][:, 0])         # (B, J, 2)
+        w = np.asarray(b["target_weight"])
+        hits = 0
+        total = 0
+        for i in range(img.shape[0]):
+            for j in range(uv.shape[1]):
+                if w[i, j] == 0:
+                    continue
+                x, y = int(round(uv[i, j, 0])), int(round(uv[i, j, 1]))
+                if 1 <= x < 255 and 1 <= y < 255:
+                    total += 1
+                    patch = img[i, y - 1:y + 2, x - 1:x + 2]
+                    if patch.max() > img[i].mean() + 1.0:
+                        hits += 1
+        assert total > 30
+        assert hits / total > 0.9, (hits, total)
+
+    def test_train_batches_with_occlusion(self, mads_root):
+        cfg = make_cfg(mads_root)
+        loader = Stereo3DLoader(cfg, "train", seed=3)
+        b = next(iter(loader))
+        assert b["image"].shape == (4, 2, 256, 256, 3)
+        w = np.asarray(b["target_weight"])
+        assert ((w == 0) | (w == 1)).all()
+
+    def test_train_epochs_differ(self, mads_root):
+        cfg = make_cfg(mads_root)
+        loader = Stereo3DLoader(cfg, "train", seed=3)
+        b1 = next(iter(loader))
+        b2 = next(iter(loader))
+        assert not np.allclose(np.asarray(b1["image"]),
+                               np.asarray(b2["image"]))
+
+
+class TestMonoLoader:
+    def test_mads2d_batches(self, mads_root):
+        cfg = make_cfg(mads_root, dataset_type="MADS_2d", occl="None")
+        loader = Mono2DLoader(cfg, "valid")
+        b = next(iter(loader))
+        assert b["image"].shape == (4, 256, 256, 3)
+        assert b["target"].shape == (4, 64, 64, 19)
+        assert b["target_weight"].shape == (4, 19)
+        # heatmap peaks where joints are visible
+        t = np.asarray(b["target"])
+        w = np.asarray(b["target_weight"])
+        for j in range(19):
+            if w[0, j] > 0:
+                assert t[0, :, :, j].max() > 0.99
+
+    def test_train_flip_scale(self, mads_root):
+        cfg = make_cfg(mads_root, dataset_type="MADS_2d", occl="None")
+        loader = Mono2DLoader(cfg, "train", seed=1)
+        b = next(iter(loader))
+        assert np.isfinite(np.asarray(b["image"])).all()
+
+    def test_load_data_dispatch(self, mads_root):
+        cfg3 = make_cfg(mads_root)
+        tr, va = load_data(cfg3)
+        assert isinstance(tr, Stereo3DLoader)
+        cfg2 = make_cfg(mads_root, dataset_type="MADS_2d", occl="None")
+        tr, va = load_data(cfg2)
+        assert isinstance(tr, Mono2DLoader)
+
+
+class TestStream:
+    def test_frame_iterator(self, mads_root):
+        import os
+        stream = LoadMADSData(os.path.join(mads_root, "valid"),
+                              (256, 256), "HipHop")
+        assert len(stream) == 6
+        frames = list(stream)
+        assert len(frames) == 6
+        left, right, meta = frames[0]
+        assert left.shape == (256, 256, 3)
+        K = np.array(meta["cam_left"]["intrinsics"])
+        assert K.shape == (3, 3)
+        np.testing.assert_allclose(K[2], [0, 0, 1])
+
+    def test_batched_stream(self, mads_root):
+        import os
+        stream = LoadMADSData(os.path.join(mads_root, "valid"),
+                              (256, 256), "HipHop")
+        batches = list(stream.batches(4))
+        assert len(batches) == 2
+        assert batches[0]["img_l"].shape == (4, 256, 256, 3)
+        assert batches[0]["proj"].shape == (4, 2, 3, 4)
+        assert batches[1]["n_valid"] == 2
+
+    def test_stream_projection_roundtrip(self, mads_root):
+        """Projecting GT 3D through the crop-corrected P lands on the
+        rendered dots in the cropped frames."""
+        import os
+        stream = LoadMADSData(os.path.join(mads_root, "valid"),
+                              (256, 256), "HipHop")
+        b = next(stream.batches(4))
+        finite = ~np.isnan(b["pose_3d"]).any(-1)
+        uv = np.asarray(project_points(
+            np.nan_to_num(b["pose_3d"]).astype(np.float32), b["proj"][:, 1]))
+        img = b["img_r"].astype(np.float32)
+        hits, total = 0, 0
+        for i in range(4):
+            for j in range(19):
+                if not finite[i, j]:
+                    continue
+                x, y = int(round(uv[i, j, 0])), int(round(uv[i, j, 1]))
+                if 1 <= x < 255 and 1 <= y < 255:
+                    total += 1
+                    if img[i, y - 1:y + 2, x - 1:x + 2].max() > 150:
+                        hits += 1
+        assert total > 30 and hits / total > 0.9, (hits, total)
