@@ -1,0 +1,161 @@
+"""CDRNet stereo 3D inference app. [ref: inference.py]
+
+Two modes:
+  - batched evaluation (default): streams the movement in device-sized
+    batches, predicts 2D+3D, reports sequence MPJPE2D/MPJPE3D. This is the
+    throughput path — the reference runs one frame at a time with
+    per-frame matplotlib rendering [ref: inference.py:138-149].
+  - --save_frames N: additionally renders the reference-style per-frame
+    2D overlay + 3D skeleton plot and writes <movement>.gif + test.jpg.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import load_config
+from ..models import CDRNet
+from ..models.metrics import per_sample_mpjpe
+from ..ops.warp import normalize_imagenet
+from ..data.stream import LoadMADSData
+from ..train.checkpoint import load_variables
+from ..utils import plot_pose_2d, plot_pose_3d, save_gif
+from ..utils.logging import setup_logger
+
+
+class CDRNetInferencer:
+    """Loads weights/<MODEL.NAME>/best{,.pth} and predicts stereo batches."""
+
+    def __init__(self, config, weights_root: str = "weights",
+                 dtype=jnp.float32):
+        self.config = config
+        self.model = CDRNet.from_config(config, dtype=dtype)
+        weight_path = os.path.join(weights_root, config.MODEL.NAME)
+        self.variables = load_variables(weight_path)
+
+        model = self.model
+
+        @jax.jit
+        def _predict(variables, img_l, img_r, proj):
+            imgs = jnp.stack([normalize_imagenet(img_l),
+                              normalize_imagenet(img_r)], axis=1)
+            return model.apply(variables, imgs, proj, train=False)
+
+        self._predict = _predict
+
+    def predict_batch(self, img_l, img_r, proj):
+        """uint8 frames (B, H, W, 3) x2 + proj (B, 2, 3, 4) ->
+        (pred_2d (B, 2, J, 2), pred_3d (B, J, 3))."""
+        return self._predict(self.variables, jnp.asarray(img_l),
+                             jnp.asarray(img_r), jnp.asarray(proj))
+
+    def evaluate_movement(self, stream: LoadMADSData, batch_size: int = 32
+                          ) -> Tuple[float, float]:
+        """Sequence-average MPJPE2D (px) / MPJPE3D (mm), averaged per frame
+        exactly like the reference loop [ref: inference.py:138-149]."""
+        tot2, tot3, n = 0.0, 0.0, 0
+        for batch in stream.batches(batch_size):
+            pred_2d, pred_3d = self.predict_batch(
+                batch["img_l"], batch["img_r"], batch["proj"])
+            pose_3d = batch["pose_3d"]
+            mask = np.isnan(pose_3d)
+            vis = np.logical_and.reduce(~mask, axis=2).astype(np.float32)
+            pose_3d = np.nan_to_num(pose_3d).astype(np.float32)
+
+            from ..geometry.camera import project_points
+            gt_l = np.asarray(project_points(pose_3d, batch["proj"][:, 0]))
+            gt_r = np.asarray(project_points(pose_3d, batch["proj"][:, 1]))
+
+            e2, e3 = per_sample_mpjpe(pred_2d, pred_3d, pose_3d, gt_l, gt_r,
+                                      vis)
+            e2, e3 = np.asarray(e2), np.asarray(e3)
+            k = batch["n_valid"]
+            tot2 += float(e2[:k].sum())
+            tot3 += float(e3[:k].sum())
+            n += k
+        return tot2 / max(n, 1), tot3 / max(n, 1)
+
+    def render_frames(self, stream: LoadMADSData, max_frames: int,
+                      out_jpg: str = "test.jpg"):
+        """Reference-style per-frame visualization frames (RGB arrays)."""
+        import cv2
+        from ..geometry.camera import project_points
+        frames = []
+        for i, (img_l, img_r, meta) in enumerate(stream):
+            if i > max_frames:
+                break
+            pose_3d = np.array(meta["pose_3d"], dtype=np.float64)
+            pose_3d = np.nan_to_num(pose_3d)
+            from ..geometry.camera import get_projection_matrix
+            P = np.stack([
+                np.asarray(get_projection_matrix(
+                    meta["cam_left"]["intrinsics"],
+                    meta["cam_left"]["rotation"],
+                    meta["cam_left"]["translation"]))[:3],
+                np.asarray(get_projection_matrix(
+                    meta["cam_right"]["intrinsics"],
+                    meta["cam_right"]["rotation"],
+                    meta["cam_right"]["translation"]))[:3]])
+            pred_2d, pred_3d = self.predict_batch(
+                img_l[None], img_r[None], P[None])
+            pred_2d = np.asarray(pred_2d)[0]
+            pred_3d = np.asarray(pred_3d)[0]
+
+            gt_l = np.asarray(project_points(
+                pose_3d.astype(np.float32), P[0]))
+            gt_r = np.asarray(project_points(
+                pose_3d.astype(np.float32), P[1]))
+
+            img_2d = plot_pose_2d((gt_l, gt_r), (pred_2d[0], pred_2d[1]),
+                                  (img_l.copy(), img_r.copy()))
+            img_2d = cv2.cvtColor(img_2d, cv2.COLOR_BGR2RGB)
+            img_3d = plot_pose_3d(pose_3d, pred_3d)
+            ratio = img_2d.shape[1] / img_3d.shape[1]
+            img_3d = cv2.resize(img_3d, (int(img_3d.shape[1] * ratio),
+                                         int(img_3d.shape[0] * ratio)))
+            frame = np.vstack((img_2d, img_3d))
+            cv2.imwrite(out_jpg, cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+            frames.append(frame)
+        return frames
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", type=str,
+                        default="configs/mads_3d.yaml")
+    parser.add_argument("--movement", type=str, default="HipHop",
+                        help="The movement video to inference")
+    parser.add_argument("--save_frames", type=int, default=None,
+                        help="Number of frames to render into a gif")
+    parser.add_argument("--data_path", type=str,
+                        default="data/MADS_extract/valid")
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--weights_root", type=str, default="weights")
+    args = parser.parse_args()
+
+    logger = setup_logger()
+    config = load_config(args.config_path)
+    stream = LoadMADSData(args.data_path, config.MODEL.IMAGE_SIZE,
+                          args.movement)
+    logger.info("%d frames in %s", len(stream), args.movement)
+
+    inferencer = CDRNetInferencer(config, weights_root=args.weights_root)
+    e2, e3 = inferencer.evaluate_movement(stream, args.batch_size)
+    print("MPJPE2D: ", e2)
+    print("MPJPE3D: ", e3)
+
+    if args.save_frames:
+        frames = inferencer.render_frames(stream, args.save_frames)
+        save_gif(frames, f"{args.movement}.gif")
+        logger.info("Wrote %s.gif (%d frames)", args.movement, len(frames))
+
+
+if __name__ == "__main__":
+    main()

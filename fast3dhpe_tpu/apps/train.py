@@ -1,0 +1,27 @@
+"""2D backbone training CLI. [ref: train.py:167-177]"""
+
+import argparse
+
+from ..config import load_config
+from ..train import loop2d
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", type=str,
+                        default="configs/mads_2d.yaml",
+                        help="Path to the config file")
+    parser.add_argument("--overwrite", action="store_true",
+                        help="Replace an existing weights/<NAME> dir "
+                             "(the reference prompts interactively)")
+    parser.add_argument("--weights_root", type=str, default="weights")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    config = load_config(args.config_path)
+    loop2d.run(config, overwrite=args.overwrite,
+               weights_root=args.weights_root, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+"""CDRNet stereo training CLI. [ref: train_cdr.py:240-250]"""
+
+import argparse
+
+from ..config import load_config
+from ..train import loop_cdr
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", type=str,
+                        default="configs/mads_3d.yaml",
+                        help="Path to the config file")
+    parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--weights_root", type=str, default="weights")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    config = load_config(args.config_path)
+    loop_cdr.run(config, overwrite=args.overwrite,
+                 weights_root=args.weights_root, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -68,9 +68,22 @@ def _dlt_system(proj, points):
     return A.reshape(A.shape[:-3] + (-1, 4))             # (..., 2V, 4)
 
 
-def _dehomogenize(v):
-    """(..., 4) homogeneous -> (..., 3). Sign of v cancels out."""
-    return v[..., :3] / v[..., 3:4]
+def _dehomogenize(v, eps: float = 1e-9):
+    """(..., 4) homogeneous -> (..., 3). Sign of v cancels out.
+
+    |w| is floored at eps: an UNTRAINED stereo net predicts near-identical
+    keypoints in both views, whose rays triangulate at infinity (w -> 0).
+    The reference divides unguarded [ref: models/cdrnet.py:176-178] and
+    relies on torch not differentiating unused outputs during its 2D-only
+    warmup; under jax.grad the resulting inf gradient would multiply the
+    warmup's zero cotangent into NaN (0 * inf) and poison the shared
+    encoder. The floor leaves every sane triangulation untouched (unit-norm
+    v puts |w| ~ 1e-4..1 for real poses).
+    """
+    w = v[..., 3:4]
+    w_safe = jnp.where(jnp.abs(w) < eps,
+                       jnp.where(w < 0, -eps, eps), w)
+    return v[..., :3] / w_safe
 
 
 @partial(jax.jit, static_argnames=("method",))

@@ -88,3 +88,30 @@ def calc_mpjpe(pred_2ds, pred_3d, gt_3d, gt_2d_left, gt_2d_right,
     e2d_r = jnp.mean(jnp.linalg.norm(pred_r - gt_r, axis=-1))
     e3d = jnp.mean(jnp.linalg.norm(pred_3d - gt_3d, axis=-1))
     return (e2d_l + e2d_r) / 2.0, e3d
+
+
+def per_sample_mpjpe(pred_2ds, pred_3d, gt_3d, gt_2d_left, gt_2d_right,
+                     target_weight=None):
+    """Per-sample (B,) 2D / 3D errors with the same weighting semantics as
+    calc_mpjpe — used by the batched inference apps, which must average
+    per FRAME like the reference's one-frame-at-a-time loop
+    [ref: inference.py:138-149]."""
+    pred_l = jnp.asarray(pred_2ds)[:, 0]
+    pred_r = jnp.asarray(pred_2ds)[:, 1]
+    pred_3d = jnp.asarray(pred_3d)
+    gt_3d = jnp.asarray(gt_3d)
+    gt_l = jnp.asarray(gt_2d_left)
+    gt_r = jnp.asarray(gt_2d_right)
+
+    if target_weight is not None:
+        w = jnp.asarray(target_weight)
+        if w.ndim == 2:
+            w = w[..., None]
+        pred_l, pred_r = pred_l * w, pred_r * w
+        pred_3d, gt_3d = pred_3d * w, gt_3d * w
+        gt_l, gt_r = gt_l * w, gt_r * w
+
+    e2d_l = jnp.mean(jnp.linalg.norm(pred_l - gt_l, axis=-1), axis=-1)
+    e2d_r = jnp.mean(jnp.linalg.norm(pred_r - gt_r, axis=-1), axis=-1)
+    e3d = jnp.mean(jnp.linalg.norm(pred_3d - gt_3d, axis=-1), axis=-1)
+    return (e2d_l + e2d_r) / 2.0, e3d

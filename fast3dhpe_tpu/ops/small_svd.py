@@ -35,12 +35,23 @@ def _rotate_pair(W, V, p, q):
     beta = jnp.sum(wq * wq, axis=-1)
     gamma = jnp.sum(wp * wq, axis=-1)
 
-    # rotation angle: tan(2t) = 2*gamma / (alpha - beta)
-    zeta = (beta - alpha) / (2.0 * jnp.where(gamma == 0.0, 1.0, gamma))
-    t = jnp.sign(zeta) / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
-    t = jnp.where(gamma == 0.0, 0.0, t)
-    c = 1.0 / jnp.sqrt(1.0 + t * t)
-    s = c * t
+    # Rotation angle via atan2: theta = 0.5 * atan2(2*gamma, alpha - beta).
+    # The textbook zeta = (beta-alpha)/(2*gamma) formulation was evaluated
+    # and rejected: as the sweep converges gamma -> 0 and the VJP of the
+    # 1/gamma intermediate overflows fp32 (0 * inf = NaN in the backward
+    # pass) even though the forward value is fine. atan2's gradient is
+    # bounded by 1/r; the only singular point (0, 0) — an already-diagonal
+    # pair — is guarded to a zero rotation.
+    # gamma' = 0.5*sin(2t)*(alpha-beta) + cos(2t)*gamma = 0
+    #   =>  2t = atan2(-2*gamma, alpha - beta)
+    denom = alpha - beta
+    degenerate = (gamma * gamma + denom * denom) < 1e-30
+    theta = jnp.where(
+        degenerate, 0.0,
+        0.5 * jnp.arctan2(-2.0 * gamma,
+                          jnp.where(degenerate, 1.0, denom)))
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
 
     c = c[..., None]
     s = s[..., None]
@@ -82,7 +93,9 @@ def jacobi_svd(A, sweeps: int = _SWEEPS):
             for q in range(p + 1, n):
                 W, V = _rotate_pair(W, V, p, q)
 
-    S = jnp.linalg.norm(W, axis=-2)                      # (..., n)
+    # sqrt(sum + tiny) instead of jnp.linalg.norm: the norm's gradient at an
+    # exactly-zero column (rank-deficient input) is 0/0 = NaN.
+    S = jnp.sqrt(jnp.sum(W * W, axis=-2) + 1e-30)        # (..., n)
     # sort descending
     order = jnp.argsort(-S, axis=-1)
     S_sorted = jnp.take_along_axis(S, order, axis=-1)

@@ -158,23 +158,49 @@ def merge_encoder_only(variables: Dict[str, Any],
     return out
 
 
-def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 3):
-    """Save a train state with orbax (params/batch_stats/opt_state/step)."""
-    import orbax.checkpoint as ocp
-    ckpt_dir = os.path.abspath(ckpt_dir)
-    with ocp.CheckpointManager(
-            ckpt_dir,
-            options=ocp.CheckpointManagerOptions(max_to_keep=keep)) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(state))
+def load_variables(path: str) -> Dict[str, Any]:
+    """Load model variables {'params', 'batch_stats'} for inference from
+    either a reference torch .pth file or a native orbax checkpoint dir.
+
+    Accepts: "<dir>/best.pth" (torch), "<dir>/best" (orbax), or a "<dir>"
+    containing either.
+    """
+    if os.path.isfile(path) and path.endswith(".pth"):
+        return load_torch_checkpoint(path)
+    if os.path.isdir(path):
+        # orbax checkpoint dir (contains its own metadata)
+        import orbax.checkpoint as ocp
+        if os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")) or \
+                os.path.exists(os.path.join(path, "d")):
+            with ocp.StandardCheckpointer() as ckptr:
+                tree = ckptr.restore(os.path.abspath(path))
+            return {"params": tree["params"],
+                    "batch_stats": tree.get("batch_stats", {})}
+        for cand in ("best.pth", "best", "latest.pth", "latest"):
+            sub = os.path.join(path, cand)
+            if os.path.exists(sub):
+                return load_variables(sub)
+    raise FileNotFoundError(f"No checkpoint found at {path}")
 
 
-def restore_checkpoint(ckpt_dir: str, template, step: Optional[int] = None):
-    """Restore the latest (or given) step; template provides the tree shape."""
+def save_checkpoint(path: str, tree) -> None:
+    """Save a pytree (e.g. {'params', 'batch_stats', 'opt_state', 'step'})
+    to `path` with orbax, overwriting. Unlike the reference's torch.save of
+    bare params [ref: train.py:150-159], the optimizer state and step are
+    included so training truly resumes."""
     import orbax.checkpoint as ocp
-    ckpt_dir = os.path.abspath(ckpt_dir)
-    with ocp.CheckpointManager(ckpt_dir) as mgr:
-        step = mgr.latest_step() if step is None else step
-        if step is None:
-            return None, None
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
-        return restored, step
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def restore_checkpoint(path: str, template):
+    """Restore a pytree saved by save_checkpoint; `template` supplies the
+    structure/shapes (an abstract or concrete tree). Returns None if the
+    checkpoint does not exist."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        return None
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template)

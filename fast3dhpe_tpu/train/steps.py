@@ -101,7 +101,13 @@ def _cdr_loss(model, loss_fn, params, batch_stats, batch, use_3d,
 
     loss_2d = (loss_fn(pred_2d[:, 0], batch["target_2d"][:, 0], w)
                + loss_fn(pred_2d[:, 1], batch["target_2d"][:, 1], w))
-    loss_3d = loss_fn(pred_3d_rel * scale_3d, target_3d_rel * scale_3d, w)
+    # Bound the 3D loss inputs at +-1e6 mm (1 km — never binding for real
+    # poses): an untrained/degenerate stereo prediction triangulates to
+    # astronomically large coordinates whose DLT gradients would overflow;
+    # clip keeps the warmup's zero-weighted 3D branch numerically inert
+    # without altering the trained regime.
+    pred_3d_loss = jnp.clip(pred_3d_rel, -1e6, 1e6)
+    loss_3d = loss_fn(pred_3d_loss * scale_3d, target_3d_rel * scale_3d, w)
 
     use_3d = jnp.asarray(use_3d)
     loss = loss_2d + jnp.where(use_3d, loss_3d_weight * loss_3d, 0.0)

@@ -1,0 +1,86 @@
+"""Profiling: step-time/throughput meter + jax.profiler trace hooks.
+
+The reference's only timing surface is tqdm progress bars
+[ref: train.py:83-107]; here the north-star metric (stereo pairs/s) is a
+first-class meter, and device traces can be captured for xprof/perfetto.
+
+IMPORTANT on this platform: the axon relay's block_until_ready does NOT
+wait for device completion (see bench.py) — `sync` fetches a scalar from
+the tree to force real completion before timestamps are taken.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+
+
+def sync(tree) -> None:
+    """Force device completion by fetching one scalar per leaf subtree."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves:
+        np.asarray(jax.device_get(leaves[0].ravel()[0]))
+
+
+class ThroughputMeter:
+    """Rolling samples/sec + step-time statistics."""
+
+    def __init__(self, window: int = 50):
+        self.window = window
+        self.reset()
+
+    def reset(self):
+        self._times = []
+        self._counts = []
+        self._last: Optional[float] = None
+
+    def start(self):
+        self._last = time.perf_counter()
+
+    def step(self, n_samples: int, result=None):
+        """Record one step of n_samples; pass the step output as `result`
+        to synchronize on it."""
+        if result is not None:
+            sync(result)
+        now = time.perf_counter()
+        if self._last is not None:
+            self._times.append(now - self._last)
+            self._counts.append(n_samples)
+            if len(self._times) > self.window:
+                self._times.pop(0)
+                self._counts.pop(0)
+        self._last = now
+
+    @property
+    def samples_per_sec(self) -> float:
+        if not self._times:
+            return 0.0
+        return sum(self._counts) / sum(self._times)
+
+    @property
+    def mean_step_ms(self) -> float:
+        if not self._times:
+            return 0.0
+        return 1e3 * sum(self._times) / len(self._times)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler device trace (view with xprof/tensorboard)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def annotate(name: str):
+    """Named region in the device trace."""
+    with jax.profiler.TraceAnnotation(name):
+        yield

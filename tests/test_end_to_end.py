@@ -1,0 +1,140 @@
+"""End-to-end integration: train CDRNet on the synthetic MADS tree,
+checkpoint, reload, run the inference apps, verify learning + resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fast3dhpe_tpu.config import config_from_dict, load_config
+from fast3dhpe_tpu.data.synthetic import make_synthetic_mads
+from fast3dhpe_tpu.train import loop_cdr, loop2d
+from fast3dhpe_tpu.train.checkpoint import load_variables
+
+
+def tiny_cfg(root, dataset_type="MADS_3d", num_layers=18, batch=4,
+             name="e2e_test", warmup=0, epochs=2, image=64, hm=16):
+    return config_from_dict({
+        "DATASET": {"TYPE": dataset_type, "ROOT": root,
+                    "TRAIN_SET": "train", "TEST_SET": "valid",
+                    "FLIP": True, "ROT_FACTOR": 30, "SCALE_FACTOR": 0.25,
+                    "OCCLUSION": "None"},
+        "MODEL": {"NUM_JOINTS": 19, "NUM_LAYERS": num_layers, "NAME": name,
+                  "PRETRAINED": "", "IMAGE_SIZE": [image, image],
+                  "EXTRA": {"TARGET_TYPE": "gaussian", "SIGMA": 1,
+                            "HEATMAP_SIZE": [hm, hm]}},
+        "TRAIN": {"BATCH_SIZE": batch, "EPOCH": epochs, "LR": 1e-3,
+                  "LR_STEP": [40], "LR_FACTOR": 0.1, "WARMUP": warmup,
+                  "LOSS_3D_WEIGHT": 4},
+        "TEST": {"BATCH_SIZE": batch},
+        "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSESmooth"},
+    })
+
+
+@pytest.fixture(scope="module")
+def mads_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mads_e2e")
+    make_synthetic_mads(str(root), n_frames=8, img_w=256, img_h=192)
+    return str(root)
+
+
+class TestTrainCDREndToEnd:
+    def test_train_checkpoints_and_inference(self, mads_root, tmp_path):
+        cfg = tiny_cfg(mads_root, warmup=1, epochs=3)
+        weights_root = str(tmp_path / "weights")
+        history = loop_cdr.run(cfg, overwrite=True,
+                               weights_root=weights_root, seed=0)
+        assert len(history["train_loss"]) == 3
+        assert all(np.isfinite(v) for v in history["train_loss"])
+        # warmup epoch trains 2D-only; post-warmup epochs add 3D
+        model_dir = os.path.join(weights_root, cfg.MODEL.NAME)
+        assert os.path.isdir(os.path.join(model_dir, "latest"))
+        # best saved only after warmup [ref train_cdr.py:223-228]
+        assert os.path.isdir(os.path.join(model_dir, "best"))
+
+        # reload checkpoint -> inferencer predicts finite poses
+        variables = load_variables(os.path.join(model_dir, "latest"))
+        from fast3dhpe_tpu.models import CDRNet
+        model = CDRNet.from_config(cfg)
+        from fast3dhpe_tpu.data import LoadMADSData
+        stream = LoadMADSData(os.path.join(mads_root, "valid"),
+                              cfg.MODEL.IMAGE_SIZE, "HipHop")
+        batch = next(stream.batches(4))
+        from fast3dhpe_tpu.ops.warp import normalize_imagenet
+        imgs = jnp.stack([normalize_imagenet(batch["img_l"]),
+                          normalize_imagenet(batch["img_r"])], axis=1)
+        kp, p3d = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            imgs, jnp.asarray(batch["proj"]), train=False)
+        assert np.isfinite(np.asarray(p3d)).all()
+
+    def test_refuses_overwrite_without_flag(self, mads_root, tmp_path):
+        cfg = tiny_cfg(mads_root, epochs=1, name="ow_test")
+        weights_root = str(tmp_path / "weights")
+        loop_cdr.run(cfg, overwrite=True, weights_root=weights_root,
+                     max_steps_per_epoch=1)
+        with pytest.raises(FileExistsError):
+            loop_cdr.run(cfg, overwrite=False, weights_root=weights_root)
+
+
+class TestTrain2DEndToEnd:
+    def test_mads2d_training_learns(self, mads_root, tmp_path):
+        cfg = tiny_cfg(mads_root, dataset_type="MADS_2d", epochs=4,
+                       name="e2e_2d")
+        cfg.LOSS.TYPE = "JointsMSE"
+        weights_root = str(tmp_path / "weights")
+        history = loop2d.run(cfg, overwrite=True, weights_root=weights_root,
+                             seed=0)
+        assert len(history["train_loss"]) == 4
+        # heatmap MSE should fall on this trivially-overfittable set
+        assert history["train_loss"][-1] < history["train_loss"][0]
+        assert os.path.isdir(
+            os.path.join(weights_root, "e2e_2d", "best"))
+
+
+class TestInferenceApps:
+    def test_baseline_app_runs(self, mads_root, tmp_path):
+        cfg = tiny_cfg(mads_root, dataset_type="MADS_2d", epochs=1,
+                       name="base_app")
+        cfg.LOSS.TYPE = "JointsMSE"
+        weights_root = str(tmp_path / "weights")
+        loop2d.run(cfg, overwrite=True, weights_root=weights_root,
+                   max_steps_per_epoch=2)
+
+        from fast3dhpe_tpu.apps.baseline import BaselineEstimator
+        from fast3dhpe_tpu.data import LoadMADSData
+        est = BaselineEstimator(cfg, weights_root=weights_root)
+        stream = LoadMADSData(os.path.join(mads_root, "valid"),
+                              cfg.MODEL.IMAGE_SIZE, "HipHop")
+        e2, e3 = est.evaluate_movement(stream, batch_size=4)
+        assert np.isfinite(e2) and np.isfinite(e3)
+
+    def test_cdr_inferencer_app(self, mads_root, tmp_path):
+        cfg = tiny_cfg(mads_root, epochs=2, warmup=0, name="cdr_app")
+        weights_root = str(tmp_path / "weights")
+        loop_cdr.run(cfg, overwrite=True, weights_root=weights_root,
+                     max_steps_per_epoch=2)
+
+        from fast3dhpe_tpu.apps.inference import CDRNetInferencer
+        from fast3dhpe_tpu.data import LoadMADSData
+        inf = CDRNetInferencer(cfg, weights_root=weights_root)
+        stream = LoadMADSData(os.path.join(mads_root, "valid"),
+                              cfg.MODEL.IMAGE_SIZE, "HipHop")
+        e2, e3 = inf.evaluate_movement(stream, batch_size=4)
+        assert np.isfinite(e2) and np.isfinite(e3)
+
+
+class TestConfigs:
+    def test_reference_configs_load(self):
+        for name in ("mpii", "mads_2d", "mads_3d"):
+            cfg = load_config(f"configs/{name}.yaml")
+            assert cfg.MODEL.NUM_LAYERS == 101
+        cfg = load_config("configs/mads_3d.yaml")
+        assert cfg.TRAIN.WARMUP == 20
+        assert cfg.TRAIN.LOSS_3D_WEIGHT == 4
+        assert cfg.DATASET.OCCLUSION == "CUTOUT"
+        assert cfg.LOSS.TYPE == "JointsMSESmooth"
