@@ -134,6 +134,11 @@ class CDRNet(nn.Module):
     fusion_hid_ch1: int = 300
     fusion_hid_ch2: int = 400
     dlt_method: str = "jacobi"
+    # "xla" (default): jnp soft-argmax — XLA fuses it fully AND it shards
+    # under the data-parallel mesh. "pallas": the fused Pallas kernel
+    # (ops/pallas_softargmax.py) — numerically identical, single-chip
+    # only (a bare pallas_call is opaque to the pjit partitioner).
+    softargmax: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -171,7 +176,11 @@ class CDRNet(nn.Module):
 
         # soft-argmax decode in fp32, scaled back to image coords
         # [ref: models/cdrnet.py:247-250]
-        kp = soft_argmax(h.astype(jnp.float32))         # (B*V, J, 2)
+        if self.softargmax == "pallas":
+            from ..ops.pallas_softargmax import soft_argmax_fused
+            kp = soft_argmax_fused(h.astype(jnp.float32))
+        else:
+            kp = soft_argmax(h.astype(jnp.float32))     # (B*V, J, 2)
         kp = kp * (img_size / heatmap_size)
         kp = kp.reshape(B, V, self.num_joints, 2)
 
