@@ -103,6 +103,7 @@ class Stereo3DLoader:
         self.seed = seed
         self._epoch = 0
         self._pool = ThreadPoolExecutor(max_workers=decode_threads)
+        self._native_hw = None   # (h, w) once probed; False = unusable
 
     def __len__(self):
         return math.ceil(len(self.records) / self.batch_size)
@@ -111,11 +112,28 @@ class Stereo3DLoader:
     def num_samples(self):
         return len(self.records)
 
+    def _decode_stereo(self, recs: List[dict]):
+        """Decode both views; native C++ batch decoder when available
+        (MADS frames share one size), threaded cv2/PIL otherwise."""
+        from . import native_jpeg
+        paths = ([r["image_left"] for r in recs]
+                 + [r["image_right"] for r in recs])
+        if self._native_hw is None and native_jpeg.available():
+            self._native_hw = native_jpeg.probe(paths[0]) or False
+        if self._native_hw:
+            h, w = self._native_hw
+            try:
+                arr = native_jpeg.decode_batch(paths, h, w)
+                if arr is not None:
+                    n = len(recs)
+                    return list(arr[:n]), list(arr[n:])
+            except ValueError:
+                self._native_hw = False    # mixed sizes -> fallback
+        imgs = list(self._pool.map(_imread, paths))
+        return imgs[:len(recs)], imgs[len(recs):]
+
     def _host_batch(self, recs: List[dict], rng: np.random.RandomState):
-        imgs_l = list(self._pool.map(
-            lambda r: _imread(r["image_left"]), recs))
-        imgs_r = list(self._pool.map(
-            lambda r: _imread(r["image_right"]), recs))
+        imgs_l, imgs_r = self._decode_stereo(recs)
 
         B = len(recs)
         trans = np.zeros((B, 2, 3), np.float64)
