@@ -158,6 +158,107 @@ def merge_encoder_only(variables: Dict[str, Any],
     return out
 
 
+def _flax_path_to_torch_key(path: Tuple[str, ...]) -> Tuple[str, str]:
+    """Inverse of _translate_torch_key: flax module path -> (torch module
+    prefix, kind) with kind in {conv, deconv, bn}."""
+    root, rest = path[0], list(path[1:])
+    name = rest[-1]
+
+    if root == "encoder":
+        if len(rest) == 1:            # stem: encoder/conv1, encoder/bn1
+            if name == "conv1":
+                return "encoder.conv1", "conv"
+            if name == "bn1":
+                return "encoder.bn1", "bn"
+        m = re.fullmatch(r"layer(\d)_(\d+)", rest[0])
+        assert m, path
+        block = f"encoder.layer{m.group(1)}.{m.group(2)}"
+        sub = rest[1]
+        if sub == "downsample_conv":
+            return f"{block}.downsample.0", "conv"
+        if sub == "downsample_bn":
+            return f"{block}.downsample.1", "bn"
+        kind = "conv" if sub.startswith("conv") else "bn"
+        return f"{block}.{sub}", kind
+    if root == "decoder":
+        m = re.fullmatch(r"deconv(\d)", name)
+        if m:
+            return f"decoder.deconv{m.group(1)}.0", "deconv"
+        m = re.fullmatch(r"deconv(\d)_bn", name)
+        if m:
+            return f"decoder.deconv{m.group(1)}.1", "bn"
+        if name == "final_layer":
+            return "decoder.final_layer", "conv"
+    if root == "CF":
+        if name == "conv_layer1":
+            return "CF.conv_layer1.0", "conv"
+        if name == "conv_layer1_bn":
+            return "CF.conv_layer1.1", "bn"
+        m = re.fullmatch(r"conv_layer2_(\d)", name)
+        if m:
+            return f"CF.conv_layer2.{int(m.group(1)) * 3}", "conv"
+        m = re.fullmatch(r"conv_layer2_(\d)_bn", name)
+        if m:
+            return f"CF.conv_layer2.{int(m.group(1)) * 3 + 1}", "bn"
+        m = re.fullmatch(r"out_layer(\d)", name)
+        if m:
+            return f"CF.out_layer.{m.group(1)}.0", "conv"
+        m = re.fullmatch(r"out_layer(\d)_bn", name)
+        if m:
+            return f"CF.out_layer.{m.group(1)}.1", "bn"
+    raise KeyError(f"Unrecognized flax module path: {path}")
+
+
+def flax_to_torch_state_dict(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Export {'params', 'batch_stats'} to a reference-format torch state
+    dict (numpy arrays; pass through torch.tensor to save as .pth).
+
+    The exact inverse of torch_state_dict_to_flax — a checkpoint trained
+    here loads into the reference's torch models (strict), see
+    tests/test_checkpoint_roundtrip.py.
+    """
+    out: Dict[str, Any] = {}
+
+    def walk(tree, path):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+                continue
+            arr = np.asarray(v)
+            module_path = path + (k,)
+            leaf = module_path[-1]
+            mod = module_path[:-1]
+            prefix, kind = _flax_path_to_torch_key(mod)
+            if kind in ("conv", "deconv"):
+                if leaf == "kernel":
+                    out[f"{prefix}.weight"] = arr.transpose(3, 2, 0, 1)
+                elif leaf == "bias":
+                    out[f"{prefix}.bias"] = arr
+                else:
+                    raise KeyError(module_path)
+            else:  # bn
+                name = {"scale": "weight", "bias": "bias",
+                        "mean": "running_mean", "var": "running_var"}[leaf]
+                out[f"{prefix}.{name}"] = arr
+
+    walk(variables["params"], ())
+    walk(variables.get("batch_stats", {}), ())
+    # torch BN modules also track num_batches_tracked
+    for key in list(out.keys()):
+        if key.endswith("running_mean"):
+            out[key.replace("running_mean", "num_batches_tracked")] = \
+                np.asarray(0, dtype=np.int64)
+    return out
+
+
+def save_torch_checkpoint(path: str, variables: Dict[str, Any]) -> None:
+    """Write a reference-compatible .pth file."""
+    import torch
+    sd = {k: torch.tensor(v) for k, v in
+          flax_to_torch_state_dict(variables).items()}
+    torch.save(sd, path)
+
+
 def load_variables(path: str) -> Dict[str, Any]:
     """Load model variables {'params', 'batch_stats'} for inference from
     either a reference torch .pth file or a native orbax checkpoint dir.
