@@ -14,11 +14,17 @@ def main():
     parser.add_argument("--overwrite", action="store_true")
     parser.add_argument("--weights_root", type=str, default="weights")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (fp32 params/BN stats)")
+    parser.add_argument("--plot_dir", type=str, default=None,
+                        help="write loss curves here after training")
     args = parser.parse_args()
 
     config = load_config(args.config_path)
     loop_cdr.run(config, overwrite=args.overwrite,
-                 weights_root=args.weights_root, seed=args.seed)
+                 weights_root=args.weights_root, seed=args.seed,
+                 compute_dtype="bfloat16" if args.bf16 else "float32",
+                 plot_dir=args.plot_dir)
 
 
 if __name__ == "__main__":

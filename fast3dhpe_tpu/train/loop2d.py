@@ -48,8 +48,15 @@ def _state_tree(state: TrainState) -> Dict:
 
 def run(config: Config, mesh=None, overwrite: bool = False,
         weights_root: str = "weights", max_epochs: Optional[int] = None,
-        max_steps_per_epoch: Optional[int] = None, seed: int = 0) -> Dict:
-    """Train PoseResNet; returns a history dict (losses/accs per epoch)."""
+        max_steps_per_epoch: Optional[int] = None, seed: int = 0,
+        compute_dtype: str = "float32", plot_dir: Optional[str] = None
+        ) -> Dict:
+    """Train PoseResNet; returns a history dict (losses/accs per epoch).
+
+    compute_dtype: "float32" or "bfloat16" (params/BN stats stay fp32).
+    plot_dir: if set, write loss/accuracy curves there after training
+    (the reference's plot_loss calls are commented out [ref train.py:160-163]).
+    """
     logger = setup_logger()
     model_path = os.path.join(weights_root, config.MODEL.NAME)
     _prepare_model_dir(model_path, overwrite, logger)
@@ -58,7 +65,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     logger.info("Train samples: %d, valid samples: %d",
                 train_loader.num_samples, valid_loader.num_samples)
 
-    model = PoseResNet.from_config(config)
+    model = PoseResNet.from_config(config, dtype=jnp.dtype(compute_dtype))
     sample_shape = (1, config.MODEL.IMAGE_SIZE[1],
                     config.MODEL.IMAGE_SIZE[0], 3)
     variables = model.init(jax.random.PRNGKey(seed),
@@ -126,5 +133,11 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         save_checkpoint(os.path.join(model_path, "latest"),
                         _state_tree(state))
 
+    if plot_dir:
+        from ..utils import plot_loss
+        plot_loss(history["train_loss"], plot_dir, "Training Loss")
+        plot_loss(history["val_loss"], plot_dir, "Validation Loss")
+        plot_loss(history["train_acc"], plot_dir, "Training Accuracy")
+        plot_loss(history["val_acc"], plot_dir, "Validation Accuracy")
     logger.info("Training is done!")
     return history

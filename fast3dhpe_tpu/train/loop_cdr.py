@@ -32,8 +32,13 @@ BASE_JOINT = 1      # [ref: train_cdr.py:73]
 
 def run(config: Config, mesh=None, overwrite: bool = False,
         weights_root: str = "weights", max_epochs: Optional[int] = None,
-        max_steps_per_epoch: Optional[int] = None, seed: int = 0) -> Dict:
-    """Train CDRNet; returns history (losses + val MPJPE per epoch)."""
+        max_steps_per_epoch: Optional[int] = None, seed: int = 0,
+        compute_dtype: str = "float32", plot_dir: Optional[str] = None
+        ) -> Dict:
+    """Train CDRNet; returns history (losses + val MPJPE per epoch).
+
+    compute_dtype: "float32" or "bfloat16" (params/BN stats stay fp32).
+    """
     logger = setup_logger()
     model_path = os.path.join(weights_root, config.MODEL.NAME)
     _prepare_model_dir(model_path, overwrite, logger)
@@ -42,7 +47,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     logger.info("Train samples: %d, valid samples: %d",
                 train_loader.num_samples, valid_loader.num_samples)
 
-    model = CDRNet.from_config(config)
+    model = CDRNet.from_config(config, dtype=jnp.dtype(compute_dtype))
     H, W = config.MODEL.IMAGE_SIZE[1], config.MODEL.IMAGE_SIZE[0]
     dummy_imgs = jnp.zeros((1, 2, H, W, 3), jnp.float32)
     dummy_proj = jnp.broadcast_to(
@@ -127,5 +132,10 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         save_checkpoint(os.path.join(model_path, "latest"),
                         _state_tree(state))
 
+    if plot_dir:
+        from ..utils import plot_loss
+        plot_loss(history["train_loss"], plot_dir, "Training Loss")
+        plot_loss(history["val_loss"], plot_dir, "Validation Loss")
+        plot_loss(history["val_mpjpe_3d"], plot_dir, "MPJPE")
     logger.info("Training is done!")
     return history
