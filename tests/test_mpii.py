@@ -1,0 +1,92 @@
+"""MPII index builder + mono loader tests on a synthetic annot tree."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fast3dhpe_tpu.data.mpii import build_mpii_index
+from fast3dhpe_tpu.data.loader import Mono2DLoader
+from fast3dhpe_tpu.config import config_from_dict
+
+rng = np.random.RandomState(0)
+
+
+@pytest.fixture(scope="module")
+def mpii_root(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    root = tmp_path_factory.mktemp("mpii")
+    (root / "annot").mkdir()
+    (root / "images").mkdir()
+    annos = []
+    for split, n in (("train", 6), ("valid", 4)):
+        entries = []
+        for i in range(n):
+            # variable image sizes — exercises the host warp path
+            h, w = 240 + 16 * i, 320 + 8 * i
+            name = f"{split}_{i:03d}.jpg"
+            img = rng.randint(0, 255, size=(h, w, 3), dtype=np.uint8)
+            cv2.imwrite(str(root / "images" / name), img)
+            joints = np.stack([rng.uniform(20, w - 20, 16),
+                               rng.uniform(20, h - 20, 16)], axis=1)
+            entries.append({
+                "image": name,
+                "center": [w / 2, h / 2],
+                "scale": h / 200.0,
+                "joints": joints.tolist(),
+                "joints_vis": [1] * 15 + [0],
+            })
+        with open(root / "annot" / f"{split}.json", "w") as f:
+            json.dump(entries, f)
+        annos.append(entries)
+    return str(root)
+
+
+def mpii_cfg(root, batch=4):
+    return config_from_dict({
+        "DATASET": {"TYPE": "MPII", "ROOT": root, "TRAIN_SET": "train",
+                    "TEST_SET": "valid", "FLIP": True, "ROT_FACTOR": 30,
+                    "SCALE_FACTOR": 0.25},
+        "MODEL": {"NUM_JOINTS": 16, "NUM_LAYERS": 50, "NAME": "mpii_t",
+                  "IMAGE_SIZE": [256, 256],
+                  "EXTRA": {"SIGMA": 3, "HEATMAP_SIZE": [64, 64]}},
+        "TRAIN": {"BATCH_SIZE": batch},
+        "TEST": {"BATCH_SIZE": batch},
+        "LOSS": {"TYPE": "JointsMSE"},
+    })
+
+
+class TestMPII:
+    def test_index_fixups(self, mpii_root):
+        recs = build_mpii_index(mpii_root, "valid", 16)
+        assert len(recs) == 4
+        r = recs[0]
+        # center/scale fixups: c[1] += 15*s, s *= 1.25, then -1 for matlab
+        # [ref dataset/mpii.py:79-84]
+        h, w = 240, 320
+        s0 = h / 200.0
+        assert r["scale"][0] == pytest.approx(s0 * 1.25)
+        assert r["center"][1] == pytest.approx(h / 2 + 15 * s0 - 1)
+        assert r["center"][0] == pytest.approx(w / 2 - 1)
+        # joints shifted to 0-based
+        assert r["joints"].shape == (16, 3)
+        assert r["joints_vis"][15, 0] == 0
+
+    def test_valid_loader_batches(self, mpii_root):
+        cfg = mpii_cfg(mpii_root)
+        loader = Mono2DLoader(cfg, "valid")
+        b = next(iter(loader))
+        assert b["image"].shape == (4, 256, 256, 3)
+        assert b["target"].shape == (4, 64, 64, 16)
+        assert b["target_weight"].shape == (4, 16)
+        w = np.asarray(b["target_weight"])
+        # joint 15 invisible in the fixture
+        assert (w[:, 15] == 0).all()
+
+    def test_train_loader_with_aug(self, mpii_root):
+        cfg = mpii_cfg(mpii_root)
+        loader = Mono2DLoader(cfg, "train", seed=2)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert np.isfinite(np.asarray(batches[0]["image"])).all()
