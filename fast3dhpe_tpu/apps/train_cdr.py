@@ -18,13 +18,15 @@ def main():
                         help="bfloat16 compute (fp32 params/BN stats)")
     parser.add_argument("--plot_dir", type=str, default=None,
                         help="write loss curves here after training")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from weights/<NAME>/latest")
     args = parser.parse_args()
 
     config = load_config(args.config_path)
     loop_cdr.run(config, overwrite=args.overwrite,
                  weights_root=args.weights_root, seed=args.seed,
                  compute_dtype="bfloat16" if args.bf16 else "float32",
-                 plot_dir=args.plot_dir)
+                 plot_dir=args.plot_dir, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -33,15 +33,18 @@ BASE_JOINT = 1      # [ref: train_cdr.py:73]
 def run(config: Config, mesh=None, overwrite: bool = False,
         weights_root: str = "weights", max_epochs: Optional[int] = None,
         max_steps_per_epoch: Optional[int] = None, seed: int = 0,
-        compute_dtype: str = "float32", plot_dir: Optional[str] = None
-        ) -> Dict:
+        compute_dtype: str = "float32", plot_dir: Optional[str] = None,
+        resume: bool = False) -> Dict:
     """Train CDRNet; returns history (losses + val MPJPE per epoch).
 
     compute_dtype: "float32" or "bfloat16" (params/BN stats stay fp32).
+    resume: continue from weights/<NAME>/latest (true resume incl.
+    optimizer state + step; warmup accounting follows the restored epoch).
     """
     logger = setup_logger()
     model_path = os.path.join(weights_root, config.MODEL.NAME)
-    _prepare_model_dir(model_path, overwrite, logger)
+    if not resume:
+        _prepare_model_dir(model_path, overwrite, logger)
 
     train_loader, valid_loader = load_data(config, mesh=mesh, seed=seed)
     logger.info("Train samples: %d, valid samples: %d",
@@ -64,6 +67,25 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     steps_per_epoch = len(train_loader)
     tx = make_optimizer(config, steps_per_epoch)
     state = TrainState.create(variables, tx)
+
+    start_epoch = 0
+    if resume:
+        from .checkpoint import restore_checkpoint
+        restored = restore_checkpoint(os.path.join(model_path, "latest"),
+                                      _state_tree(state))
+        if restored is not None:
+            state = state.replace(
+                step=jnp.asarray(restored["step"]),
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"])
+            start_epoch = int(restored["step"]) // max(steps_per_epoch, 1)
+            logger.info("Resumed from step %d (epoch %d)",
+                        int(restored["step"]), start_epoch)
+        else:
+            os.makedirs(model_path, exist_ok=True)
+            logger.info("No checkpoint to resume; starting fresh")
+
     if mesh is not None:
         from ..parallel import replicate
         state = replicate(mesh, state)
@@ -84,7 +106,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                "val_mpjpe_2d": [], "grad_norm": []}
     best_err = float("inf")
 
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
         use_3d = jnp.asarray(epoch >= warmup)
 

@@ -138,3 +138,29 @@ class TestConfigs:
         assert cfg.TRAIN.LOSS_3D_WEIGHT == 4
         assert cfg.DATASET.OCCLUSION == "CUTOUT"
         assert cfg.LOSS.TYPE == "JointsMSESmooth"
+
+
+class TestResume:
+    def test_resume_continues_from_checkpoint(self, mads_root, tmp_path):
+        """Run 2 epochs, resume, run to 4 — step counter and params carry
+        over (true resume; the reference cannot do this)."""
+        cfg = tiny_cfg(mads_root, dataset_type="MADS_2d", epochs=4,
+                       name="resume_t")
+        cfg.LOSS.TYPE = "JointsMSE"
+        weights_root = str(tmp_path / "weights")
+        h1 = loop2d.run(cfg, overwrite=True, weights_root=weights_root,
+                        max_epochs=2, seed=0)
+        assert len(h1["train_loss"]) == 2
+        h2 = loop2d.run(cfg, weights_root=weights_root, resume=True, seed=0)
+        # epochs 2..3 remain
+        assert len(h2["train_loss"]) == 2
+        # resumed training continues to improve over the first run's end
+        assert h2["train_loss"][-1] < h1["train_loss"][0]
+
+        from fast3dhpe_tpu.train.checkpoint import restore_checkpoint
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as c:
+            tree = c.restore(os.path.abspath(
+                os.path.join(weights_root, "resume_t", "latest")))
+        steps_per_epoch = 2  # 8 samples / batch 4
+        assert int(tree["step"]) == 4 * steps_per_epoch
