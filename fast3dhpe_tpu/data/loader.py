@@ -15,7 +15,7 @@ import math
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional
+from typing import Iterator, List
 
 import numpy as np
 
@@ -26,7 +26,7 @@ from ..geometry.affine import (
 from .mads import (build_mads_index, build_mads_stereo_index,
                    MADS_FLIP_PAIRS)
 from .mpii import build_mpii_index, MPII_FLIP_PAIRS
-from .device_pipeline import preprocess_stereo_batch, preprocess_mono_batch
+from .device_pipeline import preprocess_stereo_batch
 
 
 def _imread(path: str) -> np.ndarray:

@@ -19,7 +19,7 @@ fusion and encoder — the end-to-end 3D training path is preserved.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -15,7 +15,7 @@ depths 50/101/152 are usable there). We implement the canonical BasicBlock
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -13,9 +13,8 @@ from __future__ import annotations
 import os
 import shutil
 import time
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

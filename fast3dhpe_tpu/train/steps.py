@@ -12,8 +12,8 @@ host numpy every step [ref: train.py:99-100]); only scalars leave.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Tuple
+
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
