@@ -88,7 +88,12 @@ class Stereo3DLoader:
     """
 
     def __init__(self, cfg, image_set: str, mesh=None, seed: int = 0,
-                 decode_threads: int = 4):
+                 decode_threads: int = 4, cache_bytes: int = 0):
+        """cache_bytes > 0 enables an in-RAM cache of decoded uint8 frames
+        (exact numerics — frames are cached pre-warp). Epochs after the
+        first skip JPEG decode entirely for cached frames; on this class of
+        host the decode is otherwise the training bottleneck (the device
+        step is ~25x faster than single-core JPEG decode of a batch)."""
         self.cfg = cfg
         self.image_set = image_set
         self.train = image_set == cfg.DATASET.TRAIN_SET
@@ -104,6 +109,9 @@ class Stereo3DLoader:
         self._epoch = 0
         self._pool = ThreadPoolExecutor(max_workers=decode_threads)
         self._native_hw = None   # (h, w) once probed; False = unusable
+        self._cache_budget = cache_bytes
+        self._cache_used = 0
+        self._cache = {}         # path -> uint8 array
 
     def __len__(self):
         return math.ceil(len(self.records) / self.batch_size)
@@ -112,12 +120,8 @@ class Stereo3DLoader:
     def num_samples(self):
         return len(self.records)
 
-    def _decode_stereo(self, recs: List[dict]):
-        """Decode both views; native C++ batch decoder when available
-        (MADS frames share one size), threaded cv2/PIL otherwise."""
+    def _decode_paths(self, paths: List[str]):
         from . import native_jpeg
-        paths = ([r["image_left"] for r in recs]
-                 + [r["image_right"] for r in recs])
         if self._native_hw is None and native_jpeg.available():
             self._native_hw = native_jpeg.probe(paths[0]) or False
         if self._native_hw:
@@ -125,12 +129,34 @@ class Stereo3DLoader:
             try:
                 arr = native_jpeg.decode_batch(paths, h, w)
                 if arr is not None:
-                    n = len(recs)
-                    return list(arr[:n]), list(arr[n:])
+                    return list(arr)
             except ValueError:
                 self._native_hw = False    # mixed sizes -> fallback
-        imgs = list(self._pool.map(_imread, paths))
-        return imgs[:len(recs)], imgs[len(recs):]
+        return list(self._pool.map(_imread, paths))
+
+    def _decode_stereo(self, recs: List[dict]):
+        """Decode both views; native C++ batch decoder when available
+        (MADS frames share one size), threaded cv2/PIL otherwise; a
+        byte-budgeted RAM cache skips re-decoding across epochs."""
+        paths = ([r["image_left"] for r in recs]
+                 + [r["image_right"] for r in recs])
+        if not self._cache_budget:
+            imgs = self._decode_paths(paths)
+        else:
+            unique_missing = [p for p in dict.fromkeys(paths)
+                              if p not in self._cache]
+            fresh = {}
+            if unique_missing:
+                decoded = self._decode_paths(unique_missing)
+                fresh = dict(zip(unique_missing, decoded))
+                for p, img in fresh.items():
+                    if self._cache_used + img.nbytes <= self._cache_budget:
+                        self._cache[p] = img
+                        self._cache_used += img.nbytes
+            imgs = [self._cache[p] if p in self._cache else fresh[p]
+                    for p in paths]
+        n = len(recs)
+        return imgs[:n], imgs[n:]
 
     def _host_batch(self, recs: List[dict], rng: np.random.RandomState):
         imgs_l, imgs_r = self._decode_stereo(recs)

@@ -209,3 +209,31 @@ class TestStream:
                     if img[i, y - 1:y + 2, x - 1:x + 2].max() > 150:
                         hits += 1
         assert total > 30 and hits / total > 0.9, (hits, total)
+
+
+class TestDecodedFrameCache:
+    def test_cache_and_uncached_agree(self, mads_root):
+        cfg = make_cfg(mads_root)
+        l1 = Stereo3DLoader(cfg, "valid", cache_bytes=0)
+        l2 = Stereo3DLoader(cfg, "valid", cache_bytes=1 << 30)
+        b1 = list(l1)
+        b2 = list(l2)           # fills the cache
+        b3 = list(l2)           # served from cache
+        for a, b in ((b1, b2), (b2, b3)):
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x["image"]),
+                                              np.asarray(y["image"]))
+        assert l2._cache_used > 0
+        assert len(l2._cache) == 12      # 6 frames x 2 views
+
+    def test_cache_budget_respected(self, mads_root):
+        cfg = make_cfg(mads_root)
+        one_frame = 384 * 512 * 3        # synthetic frame bytes
+        loader = Stereo3DLoader(cfg, "valid",
+                                cache_bytes=3 * one_frame + 10)
+        list(loader)
+        assert len(loader._cache) <= 3
+        assert loader._cache_used <= 3 * one_frame + 10
+        # batches still correct with a partial cache
+        b = next(iter(loader))
+        assert np.isfinite(np.asarray(b["image"])).all()
