@@ -71,6 +71,29 @@ def _prefetch(gen: Iterator, depth: int = 2) -> Iterator:
         yield item
 
 
+class _BatchDecoder:
+    """Batch JPEG decode: native C++ arena decoder when all frames share
+    one size (probed once), threaded cv2/PIL otherwise."""
+
+    def __init__(self, pool: ThreadPoolExecutor):
+        self._pool = pool
+        self._native_hw = None    # (h, w) once probed; False = unusable
+
+    def __call__(self, paths: List[str]) -> List[np.ndarray]:
+        from . import native_jpeg
+        if self._native_hw is None and native_jpeg.available():
+            self._native_hw = native_jpeg.probe(paths[0]) or False
+        if self._native_hw:
+            h, w = self._native_hw
+            try:
+                arr = native_jpeg.decode_batch(paths, h, w)
+                if arr is not None:
+                    return list(arr)
+            except ValueError:
+                self._native_hw = False   # mixed sizes -> fallback
+        return list(self._pool.map(_imread, paths))
+
+
 def _train_scale_rot(rng: np.random.RandomState, sf: float, rf: float):
     """Reference's random scale/rotation draws [ref: dataset/base.py:74-78]."""
     s = np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
@@ -108,7 +131,7 @@ class Stereo3DLoader:
         self.seed = seed
         self._epoch = 0
         self._pool = ThreadPoolExecutor(max_workers=decode_threads)
-        self._native_hw = None   # (h, w) once probed; False = unusable
+        self._decode_paths = _BatchDecoder(self._pool)
         self._cache_budget = cache_bytes
         self._cache_used = 0
         self._cache = {}         # path -> uint8 array
@@ -119,20 +142,6 @@ class Stereo3DLoader:
     @property
     def num_samples(self):
         return len(self.records)
-
-    def _decode_paths(self, paths: List[str]):
-        from . import native_jpeg
-        if self._native_hw is None and native_jpeg.available():
-            self._native_hw = native_jpeg.probe(paths[0]) or False
-        if self._native_hw:
-            h, w = self._native_hw
-            try:
-                arr = native_jpeg.decode_batch(paths, h, w)
-                if arr is not None:
-                    return list(arr)
-            except ValueError:
-                self._native_hw = False    # mixed sizes -> fallback
-        return list(self._pool.map(_imread, paths))
 
     def _decode_stereo(self, recs: List[dict]):
         """Decode both views; native C++ batch decoder when available
@@ -260,6 +269,7 @@ class Mono2DLoader:
         self.seed = seed
         self._epoch = 0
         self._pool = ThreadPoolExecutor(max_workers=decode_threads)
+        self._decode_paths = _BatchDecoder(self._pool)
 
     def __len__(self):
         return math.ceil(len(self.records) / self.batch_size)
@@ -268,11 +278,11 @@ class Mono2DLoader:
     def num_samples(self):
         return len(self.records)
 
-    def _prepare_sample(self, rec, aug):
+    def _prepare_sample(self, rec, aug, img):
         """aug: (scale_mult, rot_deg, do_flip) drawn on the main thread —
         RandomState is not thread-safe, so randomness never crosses into
-        the decode pool."""
-        img = _imread(rec["image"])
+        the worker pool. `img` is the pre-decoded frame (batch-decoded,
+        native C++ path for fixed-size sources)."""
         h, w = img.shape[:2]
 
         if self.dataset_type == "MPII":
@@ -338,9 +348,12 @@ class Mono2DLoader:
                 else:
                     s_mult, r, do_flip = 1.0, 0.0, False
                 augs.append((s_mult, r, do_flip))
+            imgs_raw = self._decode_paths(
+                [self.records[i]["image"] for i in idx])
             samples = list(self._pool.map(
-                lambda ia: self._prepare_sample(self.records[ia[0]], ia[1]),
-                zip(idx, augs)))
+                lambda ia: self._prepare_sample(
+                    self.records[ia[0]], ia[1], ia[2]),
+                zip(idx, augs, imgs_raw)))
             imgs = np.stack([s[0] for s in samples])
             joints = np.stack([s[1] for s in samples]).astype(np.float32)
             vis = np.stack([s[2] for s in samples]).astype(np.float32)

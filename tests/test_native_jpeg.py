@@ -71,10 +71,10 @@ class TestNativeJpeg:
             "LOSS": {}})
         loader = Stereo3DLoader(cfg, "valid")
         b_native = next(iter(loader))
-        assert loader._native_hw not in (None, False)
+        assert loader._decode_paths._native_hw not in (None, False)
 
         loader2 = Stereo3DLoader(cfg, "valid")
-        loader2._native_hw = False          # force cv2 fallback
+        loader2._decode_paths._native_hw = False   # force cv2 fallback
         b_cv2 = next(iter(loader2))
         diff = np.abs(np.asarray(b_native["image"])
                       - np.asarray(b_cv2["image"]))

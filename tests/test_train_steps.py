@@ -161,3 +161,27 @@ class TestSchedule:
         assert float(sched(19)) == pytest.approx(1e-3)
         assert float(sched(20)) == pytest.approx(1e-4)
         assert float(sched(40)) == pytest.approx(1e-5)
+
+
+class TestShardedCDR:
+    def test_sharded_cdr_step_matches_single_device(self):
+        import optax
+        assert len(jax.devices()) >= 8
+        model = CDRNet(num_joints=19, num_layers=18)
+        batch = make_cdr_batch(B=8)
+        variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                               batch["proj"], train=False)
+        state = TrainState.create(variables, optax.adam(1e-4))
+        loss_fn = make_loss("JointsMSESmooth", True)
+        step = make_train_step_cdr(model, loss_fn)
+
+        s1, m1 = step(state, batch, jnp.asarray(True))
+
+        mesh = make_mesh(8)
+        s2, m2 = step(replicate(mesh, state), shard_batch(mesh, batch),
+                      jnp.asarray(True))
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                  rel=1e-3)
+        p1 = np.asarray(s1.params["decoder"]["final_layer"]["kernel"])
+        p2 = np.asarray(s2.params["decoder"]["final_layer"]["kernel"])
+        np.testing.assert_allclose(p1, p2, rtol=1e-3, atol=1e-6)
