@@ -131,7 +131,8 @@ def main():
     parser.add_argument("--config_path", type=str,
                         default="configs/mads_3d.yaml")
     parser.add_argument("--movement", type=str, default="HipHop",
-                        help="The movement video to inference")
+                        help="The movement video to inference, or 'all' to "
+                             "evaluate every movement in --data_path")
     parser.add_argument("--save_frames", type=int, default=None,
                         help="Number of frames to render into a gif")
     parser.add_argument("--data_path", type=str,
@@ -142,19 +143,37 @@ def main():
 
     logger = setup_logger()
     config = load_config(args.config_path)
-    stream = LoadMADSData(args.data_path, config.MODEL.IMAGE_SIZE,
-                          args.movement)
-    logger.info("%d frames in %s", len(stream), args.movement)
-
     inferencer = CDRNetInferencer(config, weights_root=args.weights_root)
-    e2, e3 = inferencer.evaluate_movement(stream, args.batch_size)
-    print("MPJPE2D: ", e2)
-    print("MPJPE3D: ", e3)
 
-    if args.save_frames:
-        frames = inferencer.render_frames(stream, args.save_frames)
-        save_gif(frames, f"{args.movement}.gif")
-        logger.info("Wrote %s.gif (%d frames)", args.movement, len(frames))
+    if args.movement == "all":
+        import glob as _glob
+        movements = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(args.data_path, "*"))
+            if os.path.isdir(p))
+    else:
+        movements = [args.movement]
+
+    tot2 = tot3 = total_frames = 0.0
+    for movement in movements:
+        stream = LoadMADSData(args.data_path, config.MODEL.IMAGE_SIZE,
+                              movement)
+        logger.info("%d frames in %s", len(stream), movement)
+        e2, e3 = inferencer.evaluate_movement(stream, args.batch_size)
+        print(f"[{movement}] MPJPE2D: ", e2)
+        print(f"[{movement}] MPJPE3D: ", e3)
+        tot2 += e2 * len(stream)
+        tot3 += e3 * len(stream)
+        total_frames += len(stream)
+
+        if args.save_frames:
+            frames = inferencer.render_frames(stream, args.save_frames)
+            save_gif(frames, f"{movement}.gif")
+            logger.info("Wrote %s.gif (%d frames)", movement, len(frames))
+
+    if len(movements) > 1 and total_frames:
+        print("MPJPE2D (all): ", tot2 / total_frames)
+        print("MPJPE3D (all): ", tot3 / total_frames)
 
 
 if __name__ == "__main__":
