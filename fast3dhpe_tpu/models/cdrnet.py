@@ -91,8 +91,6 @@ class CanonicalFusion(nn.Module):
         x = nn.relu(x)
 
         # FTL into the canonical frame, all views in one einsum
-        x = x.reshape(B, V, H, W, self.hid_ch1)
-        x = x.reshape(B * V, H, W, self.hid_ch1)
         pi = proj_inv.reshape(B * V, 4, 3)
         z = ftl(x, pi, g1)                              # (B*V, H, W, hid_ch2)
 

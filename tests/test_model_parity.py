@@ -225,3 +225,23 @@ class TestCDRNetParity:
         g = np.asarray(grads["encoder"]["conv1"]["kernel"])
         assert np.isfinite(g).all()
         assert np.abs(g).max() > 0
+
+
+class TestMultiView:
+    def test_cdrnet_three_views(self):
+        """n_views is parametric here (the reference hardcodes 2 in its
+        out_layer ModuleList); DLT stacks 2V rows, so V=3 triangulates."""
+        net = CDRNet(num_joints=19, num_layers=18, n_views=3)
+        B, H = 2, 64
+        r = np.random.RandomState(0)
+        imgs = jnp.asarray(r.randn(B, 3, H, H, 3).astype(np.float32))
+        base = stereo_projections(B)                  # (B, 2, 3, 4)
+        third = base[:, :1].copy()
+        third[:, 0, :, 3] += 100.0                    # offset third camera
+        projs = jnp.asarray(np.concatenate([base, third], axis=1))
+        variables = net.init(jax.random.PRNGKey(0), imgs, projs,
+                             train=False)
+        kp, p3d = net.apply(variables, imgs, projs, train=False)
+        assert kp.shape == (B, 3, 19, 2)
+        assert p3d.shape == (B, 19, 3)
+        assert np.isfinite(np.asarray(p3d)).all()
