@@ -85,9 +85,46 @@ def bench_cdrnet(batch_sizes=(16, 32, 64), iters=20,
     return best, best_b, results
 
 
+def bench_training(B=16, iters=10, dtype=jnp.bfloat16):
+    """Secondary metric: full CDR train step (fwd+bwd+Adam+BN) pairs/s."""
+    import optax
+    from fast3dhpe_tpu.models import CDRNet, make_loss
+    from fast3dhpe_tpu.train.state import TrainState
+    from fast3dhpe_tpu.train.steps import make_train_step_cdr
+
+    rng = np.random.RandomState(0)
+    model = CDRNet(num_joints=19, num_layers=101, dtype=dtype)
+    batch = {
+        "image": jnp.asarray(rng.randn(B, 2, 256, 256, 3), jnp.float32),
+        "proj": jnp.asarray(_stereo_projs(B)),
+        "target_3d": jnp.asarray(rng.randn(B, 19, 3) * 200, jnp.float32),
+        "target_2d": jnp.asarray(rng.uniform(0, 256, (B, 2, 19, 2)),
+                                 jnp.float32),
+        "target_weight": jnp.ones((B, 19), jnp.float32),
+    }
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch["image"], batch["proj"], train=False)
+    state = TrainState.create(variables, optax.adam(1e-4))
+    step = make_train_step_cdr(model, make_loss("JointsMSESmooth", True))
+
+    state, m = step(state, batch, jnp.asarray(True))      # compile
+    _ = float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, jnp.asarray(True))  # chained via state
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"# training: {B / dt:.1f} pairs/s ({dt*1e3:.1f} ms/step, "
+          f"batch {B})")
+    return B / dt
+
+
 def main():
+    import sys
     backend = jax.default_backend()
     print(f"# backend: {backend}, devices: {jax.devices()}")
+    if "--train" in sys.argv:
+        bench_training()
     best, best_b, _ = bench_cdrnet()
     print(json.dumps({
         "metric": "stereo_pairs_per_sec",

@@ -21,3 +21,20 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .config import load_config, config_from_dict, Config  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (avoid importing jax-heavy modules on
+    bare `import fast3dhpe_tpu`)."""
+    if name in ("PoseResNet", "CDRNet", "CanonicalFusion"):
+        from . import models
+        return getattr(models, name)
+    if name in ("load_data", "LoadMADSData"):
+        from . import data
+        return getattr(data, name)
+    if name == "make_mesh":
+        from .parallel import make_mesh
+        return make_mesh
+    raise AttributeError(name)

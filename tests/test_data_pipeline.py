@@ -237,3 +237,18 @@ class TestDecodedFrameCache:
         # batches still correct with a partial cache
         b = next(iter(loader))
         assert np.isfinite(np.asarray(b["image"])).all()
+
+
+class TestLoaderWithMesh:
+    def test_loader_shards_batches(self, mads_root):
+        import jax
+        from fast3dhpe_tpu.parallel import make_mesh
+        assert len(jax.devices()) >= 8
+        cfg = make_cfg(mads_root, batch=8)
+        mesh = make_mesh(8)
+        loader = Stereo3DLoader(cfg, "valid", mesh=mesh)
+        b = next(iter(loader))
+        sh = b["image"].sharding
+        # batch axis split over the data axis of the mesh
+        assert sh.is_fully_replicated is False
+        assert b["image"].shape == (8, 2, 256, 256, 3)
