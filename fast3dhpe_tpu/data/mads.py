@@ -54,6 +54,11 @@ def build_mads_index(root: str, image_set: str) -> List[Dict]:
         os.path.join(root, image_set, "**/**/pose/*.json")))
     assert len(right_img_paths) == len(gt_pose_paths), \
         "Number of images and ground truths must match"
+    if not right_img_paths:
+        raise FileNotFoundError(
+            f"No MADS frames under {os.path.join(root, image_set)} — "
+            f"run apps/extract_data.py first (expected "
+            f"<root>/<set>/<movement>/<seq>/right/*.jpg)")
 
     records = []
     for img_path, pose_path in zip(right_img_paths, gt_pose_paths):
@@ -88,6 +93,11 @@ def build_mads_stereo_index(root: str, image_set: str) -> List[Dict]:
         os.path.join(root, image_set, "**/**/pose/*.json")))
     assert len(left_img_paths) == len(right_img_paths) == len(gt_pose_paths), \
         "Number of images and ground truths must match"
+    if not left_img_paths:
+        raise FileNotFoundError(
+            f"No MADS stereo frames under {os.path.join(root, image_set)} — "
+            f"run apps/extract_data.py first (expected "
+            f"<root>/<set>/<movement>/<seq>/{{left,right,pose}}/)")
 
     records = []
     for left, right, pose_path in zip(left_img_paths, right_img_paths,

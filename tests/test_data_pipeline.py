@@ -252,3 +252,11 @@ class TestLoaderWithMesh:
         # batch axis split over the data axis of the mesh
         assert sh.is_fully_replicated is False
         assert b["image"].shape == (8, 2, 256, 256, 3)
+
+
+class TestEmptyDataset:
+    def test_missing_tree_raises_clear_error(self, tmp_path):
+        with pytest.raises(FileNotFoundError, match="extract_data"):
+            build_mads_stereo_index(str(tmp_path), "train")
+        with pytest.raises(FileNotFoundError, match="extract_data"):
+            build_mads_index(str(tmp_path), "train")
