@@ -32,6 +32,7 @@ def make_cfg(num_joints=19, num_layers=50):
     return cfg
 
 
+@pytest.mark.slow
 class TestExport:
     def test_flax_init_loads_into_torch_poseresnet_strict(self):
         net = PoseResNet(num_joints=19, num_layers=50)

@@ -51,6 +51,7 @@ def trained_setup(tmp_path_factory):
     return cfg, root, weights_root
 
 
+@pytest.mark.slow
 class TestEndToEndParity:
     def test_same_weights_same_predictions(self, trained_setup):
         cfg, root, weights_root = trained_setup

@@ -41,6 +41,7 @@ def mads_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 class TestTrainCDREndToEnd:
     def test_train_checkpoints_and_inference(self, mads_root, tmp_path):
         cfg = tiny_cfg(mads_root, warmup=1, epochs=3)
@@ -81,6 +82,7 @@ class TestTrainCDREndToEnd:
             loop_cdr.run(cfg, overwrite=False, weights_root=weights_root)
 
 
+@pytest.mark.slow
 class TestTrain2DEndToEnd:
     def test_mads2d_training_learns(self, mads_root, tmp_path):
         cfg = tiny_cfg(mads_root, dataset_type="MADS_2d", epochs=4,
@@ -96,6 +98,7 @@ class TestTrain2DEndToEnd:
             os.path.join(weights_root, "e2e_2d", "best"))
 
 
+@pytest.mark.slow
 class TestInferenceApps:
     def test_baseline_app_runs(self, mads_root, tmp_path):
         cfg = tiny_cfg(mads_root, dataset_type="MADS_2d", epochs=1,
@@ -140,6 +143,7 @@ class TestConfigs:
         assert cfg.LOSS.TYPE == "JointsMSESmooth"
 
 
+@pytest.mark.slow
 class TestResume:
     def test_resume_continues_from_checkpoint(self, mads_root, tmp_path):
         """Run 2 epochs, resume, run to 4 — step counter and params carry

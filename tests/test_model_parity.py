@@ -53,6 +53,7 @@ def torch_poseresnet():
     return model
 
 
+@pytest.mark.slow
 class TestPoseResNetParity:
     def test_forward_matches(self, torch_poseresnet):
         model = torch_poseresnet
@@ -134,6 +135,7 @@ def stereo_projections(batch):
     return np.broadcast_to(P, (batch, 2, 3, 4)).copy()
 
 
+@pytest.mark.slow
 class TestCDRNetParity:
     def test_heatmaps_match(self):
         """End-to-end encoder -> pinv -> CanonicalFusion -> decoder parity.

@@ -69,6 +69,7 @@ class TestTrain2D:
         assert not np.allclose(before, after)
 
 
+@pytest.mark.slow
 class TestSharded:
     def test_sharded_step_matches_single_device(self):
         """Batch-sharded train step over the 8-device CPU mesh produces the
@@ -163,6 +164,7 @@ class TestSchedule:
         assert float(sched(40)) == pytest.approx(1e-5)
 
 
+@pytest.mark.slow
 class TestShardedCDR:
     def test_sharded_cdr_step_matches_single_device(self):
         import optax
