@@ -85,8 +85,9 @@ def bench_cdrnet(batch_sizes=(16, 32, 64), iters=20,
     return best, best_b, results
 
 
-def bench_training(B=16, iters=10, dtype=jnp.bfloat16):
-    """Secondary metric: full CDR train step (fwd+bwd+Adam+BN) pairs/s."""
+def bench_training(batch_sizes=(16, 32, 64), iters=10, dtype=jnp.bfloat16):
+    """Secondary metric: full CDR train step (fwd+bwd+Adam+BN) pairs/s,
+    swept over batch sizes (round-1 only measured batch 16)."""
     import optax
     from fast3dhpe_tpu.models import CDRNet, make_loss
     from fast3dhpe_tpu.train.state import TrainState
@@ -94,29 +95,73 @@ def bench_training(B=16, iters=10, dtype=jnp.bfloat16):
 
     rng = np.random.RandomState(0)
     model = CDRNet(num_joints=19, num_layers=101, dtype=dtype)
-    batch = {
-        "image": jnp.asarray(rng.randn(B, 2, 256, 256, 3), jnp.float32),
-        "proj": jnp.asarray(_stereo_projs(B)),
-        "target_3d": jnp.asarray(rng.randn(B, 19, 3) * 200, jnp.float32),
-        "target_2d": jnp.asarray(rng.uniform(0, 256, (B, 2, 19, 2)),
-                                 jnp.float32),
-        "target_weight": jnp.ones((B, 19), jnp.float32),
-    }
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), batch["image"], batch["proj"], train=False)
-    state = TrainState.create(variables, optax.adam(1e-4))
-    step = make_train_step_cdr(model, make_loss("JointsMSESmooth", True))
+    best, best_b, results = 0.0, None, {}
+    for B in batch_sizes:
+        batch = {
+            "image": jnp.asarray(rng.randn(B, 2, 256, 256, 3), jnp.float32),
+            "proj": jnp.asarray(_stereo_projs(B)),
+            "target_3d": jnp.asarray(rng.randn(B, 19, 3) * 200, jnp.float32),
+            "target_2d": jnp.asarray(rng.uniform(0, 256, (B, 2, 19, 2)),
+                                     jnp.float32),
+            "target_weight": jnp.ones((B, 19), jnp.float32),
+        }
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), batch["image"], batch["proj"],
+            train=False)
+        state = TrainState.create(variables, optax.adam(1e-4))
+        step = make_train_step_cdr(model, make_loss("JointsMSESmooth", True))
 
-    state, m = step(state, batch, jnp.asarray(True))      # compile
-    _ = float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch, jnp.asarray(True))  # chained via state
-    _ = float(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
-    print(f"# training: {B / dt:.1f} pairs/s ({dt*1e3:.1f} ms/step, "
-          f"batch {B})")
-    return B / dt
+        state, m = step(state, batch, jnp.asarray(True))      # compile
+        _ = float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch, jnp.asarray(True))  # state-chained
+        _ = float(m["loss"])
+        dt = (time.perf_counter() - t0) / iters
+        pps = B / dt
+        results[B] = pps
+        print(f"# training batch {B}: {pps:.1f} pairs/s "
+              f"({dt*1e3:.1f} ms/step)")
+        if pps > best:
+            best, best_b = pps, B
+    print(f"# training best: {best:.1f} pairs/s at batch {best_b}")
+    return best, best_b, results
+
+
+def bench_training_loop(B=32, dtype="bfloat16"):
+    """Loop-level training throughput: the REAL loop (loader with decode
+    threads + RAM cache + prefetch, device metric accumulation) on a
+    synthetic MADS tree — validates the loop reaches the compiled step's
+    throughput (VERDICT round-1: the loop's per-step host syncs would have
+    halved it)."""
+    import tempfile
+    from fast3dhpe_tpu.config import config_from_dict
+    from fast3dhpe_tpu.data.synthetic import make_synthetic_mads
+    from fast3dhpe_tpu.train import loop_cdr
+
+    tmp = tempfile.mkdtemp(prefix="benchloop_")
+    root = f"{tmp}/data"
+    make_synthetic_mads(root, n_frames=192, img_w=256, img_h=192)
+    cfg = config_from_dict({
+        "DATASET": {"TYPE": "MADS_3d", "ROOT": root, "TRAIN_SET": "train",
+                    "TEST_SET": "valid", "FLIP": True, "ROT_FACTOR": 30,
+                    "SCALE_FACTOR": 0.25, "OCCLUSION": "CUTOUT",
+                    "CACHE_BYTES": 2 << 30},
+        "MODEL": {"NUM_JOINTS": 19, "NUM_LAYERS": 101, "NAME": "benchloop",
+                  "PRETRAINED": "", "IMAGE_SIZE": [256, 256],
+                  "EXTRA": {"TARGET_TYPE": "gaussian", "SIGMA": 3,
+                            "HEATMAP_SIZE": [64, 64]}},
+        "TRAIN": {"BATCH_SIZE": B, "EPOCH": 3, "LR": 1e-4, "LR_STEP": [40],
+                  "LR_FACTOR": 0.1, "WARMUP": 0, "LOSS_3D_WEIGHT": 4},
+        "TEST": {"BATCH_SIZE": B},
+        "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSESmooth"},
+    })
+    hist = loop_cdr.run(cfg, overwrite=True, weights_root=f"{tmp}/weights",
+                        max_steps_per_epoch=None, compute_dtype=dtype)
+    # first epoch pays compile + cold decode; report the last epoch
+    pps = hist["train_pairs_per_sec"][-1]
+    print(f"# training loop (batch {B}, full pipeline): {pps:.1f} pairs/s")
+    return pps
 
 
 def main():
@@ -125,6 +170,8 @@ def main():
     print(f"# backend: {backend}, devices: {jax.devices()}")
     if "--train" in sys.argv:
         bench_training()
+    if "--train-loop" in sys.argv:
+        bench_training_loop()
     best, best_b, _ = bench_cdrnet()
     print(json.dumps({
         "metric": "stereo_pairs_per_sec",

@@ -53,7 +53,7 @@ def main():
     for batch in loader:
         imgs = np.asarray(batch["image"])
         targets = np.asarray(batch["target"])
-        for i in range(min(batch["n_valid"], imgs.shape[0])):
+        for i in range(int(np.asarray(batch["row_valid"]).sum())):
             vis = overlay_heatmaps(denormalize(imgs[i]), targets[i])
             cv2.imwrite(os.path.join(args.out_dir,
                                      f"sample_2d_{written:03d}.jpg"), vis)

@@ -4,6 +4,11 @@
 Reprojects the GT 3D pose through the affine-composed projection matrices
 onto the warped stereo images and draws the joints — if the composition
 math is right, dots land on the body in both views.
+
+--show_masks additionally overlays the raw occlusion KEEP-masks (hidden
+regions tinted red) next to the per-joint visibility coloring — the
+inspection the reference performs in tools/visualize.py:35-63 (mask vs
+joint visibility agreement, eyeballable per sample).
 """
 
 from __future__ import annotations
@@ -34,6 +39,16 @@ def draw_pose(img_u8, pose_2d, weight):
     return img
 
 
+def overlay_keep_mask(img_u8, keep_mask):
+    """Tint the occluded (keep == False) region red.
+    [ref: tools/visualize.py:35-63 shows the raw mask]"""
+    img = np.ascontiguousarray(img_u8).astype(np.float32)
+    hidden = ~np.asarray(keep_mask, bool)
+    tint = np.array([0.0, 0.0, 255.0])  # BGR red
+    img[hidden] = 0.45 * img[hidden] + 0.55 * tint
+    return img.astype(np.uint8)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", type=str,
@@ -41,10 +56,14 @@ def main():
     parser.add_argument("--image_set", type=str, default="train")
     parser.add_argument("--num_samples", type=int, default=8)
     parser.add_argument("--out_dir", type=str, default="debug_vis")
+    parser.add_argument("--show_masks", action="store_true",
+                        help="overlay the occlusion keep-masks (red = "
+                             "hidden) with per-joint visibility coloring")
     args = parser.parse_args()
 
     config = load_config(args.config_path)
-    loader = Stereo3DLoader(config, args.image_set)
+    loader = Stereo3DLoader(config, args.image_set,
+                            return_masks=args.show_masks)
     os.makedirs(args.out_dir, exist_ok=True)
 
     import cv2
@@ -53,9 +72,15 @@ def main():
         imgs = np.asarray(batch["image"])                # (B, 2, H, W, 3)
         t2d = np.asarray(batch["target_2d"])             # (B, 2, J, 2)
         w = np.asarray(batch["target_weight"])
-        for i in range(min(batch["n_valid"], imgs.shape[0])):
-            views = [draw_pose(denormalize(imgs[i, v]), t2d[i, v], w[i])
-                     for v in range(2)]
+        masks = (np.asarray(batch["keep_mask"])
+                 if args.show_masks and "keep_mask" in batch else None)
+        for i in range(int(np.asarray(batch["row_valid"]).sum())):
+            views = []
+            for v in range(2):
+                img = denormalize(imgs[i, v])
+                if masks is not None:
+                    img = overlay_keep_mask(img, masks[i, v])
+                views.append(draw_pose(img, t2d[i, v], w[i]))
             cv2.imwrite(os.path.join(args.out_dir,
                                      f"sample_3d_{written:03d}.jpg"),
                         np.concatenate(views, axis=1))

@@ -83,46 +83,48 @@ class CDRNetInferencer:
         return tot2 / max(n, 1), tot3 / max(n, 1)
 
     def render_frames(self, stream: LoadMADSData, max_frames: int,
-                      out_jpg: str = "test.jpg"):
-        """Reference-style per-frame visualization frames (RGB arrays)."""
+                      out_jpg: str = "test.jpg", batch_size: int = 32):
+        """Reference-style per-frame visualization frames (RGB arrays).
+
+        Prediction runs in device-sized batches (one dispatch per batch
+        instead of the reference's one-frame-at-a-time model calls
+        [ref: inference.py:138-149] — on a ~20ms-RPC link per-frame
+        dispatch dominated the render path); matplotlib/cv2 rendering
+        stays per-frame on host.
+        """
         import cv2
         from ..geometry.camera import project_points
         frames = []
-        for i, (img_l, img_r, meta) in enumerate(stream):
-            if i > max_frames:
+        for batch in stream.batches(batch_size):
+            if len(frames) > max_frames:
                 break
-            pose_3d = np.array(meta["pose_3d"], dtype=np.float64)
-            pose_3d = np.nan_to_num(pose_3d)
-            from ..geometry.camera import get_projection_matrix
-            P = np.stack([
-                np.asarray(get_projection_matrix(
-                    meta["cam_left"]["intrinsics"],
-                    meta["cam_left"]["rotation"],
-                    meta["cam_left"]["translation"]))[:3],
-                np.asarray(get_projection_matrix(
-                    meta["cam_right"]["intrinsics"],
-                    meta["cam_right"]["rotation"],
-                    meta["cam_right"]["translation"]))[:3]])
             pred_2d, pred_3d = self.predict_batch(
-                img_l[None], img_r[None], P[None])
-            pred_2d = np.asarray(pred_2d)[0]
-            pred_3d = np.asarray(pred_3d)[0]
+                batch["img_l"], batch["img_r"], batch["proj"])
+            pred_2d = np.asarray(pred_2d)
+            pred_3d = np.asarray(pred_3d)
+            P = batch["proj"]
+            for i in range(batch["n_valid"]):
+                if len(frames) > max_frames:
+                    break
+                pose_3d = np.nan_to_num(batch["pose_3d"][i])
+                gt_l = np.asarray(project_points(
+                    pose_3d.astype(np.float32), P[i, 0]))
+                gt_r = np.asarray(project_points(
+                    pose_3d.astype(np.float32), P[i, 1]))
+                img_l, img_r = batch["img_l"][i], batch["img_r"][i]
 
-            gt_l = np.asarray(project_points(
-                pose_3d.astype(np.float32), P[0]))
-            gt_r = np.asarray(project_points(
-                pose_3d.astype(np.float32), P[1]))
-
-            img_2d = plot_pose_2d((gt_l, gt_r), (pred_2d[0], pred_2d[1]),
-                                  (img_l.copy(), img_r.copy()))
-            img_2d = cv2.cvtColor(img_2d, cv2.COLOR_BGR2RGB)
-            img_3d = plot_pose_3d(pose_3d, pred_3d)
-            ratio = img_2d.shape[1] / img_3d.shape[1]
-            img_3d = cv2.resize(img_3d, (int(img_3d.shape[1] * ratio),
-                                         int(img_3d.shape[0] * ratio)))
-            frame = np.vstack((img_2d, img_3d))
-            cv2.imwrite(out_jpg, cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
-            frames.append(frame)
+                img_2d = plot_pose_2d((gt_l, gt_r),
+                                      (pred_2d[i, 0], pred_2d[i, 1]),
+                                      (img_l.copy(), img_r.copy()))
+                img_2d = cv2.cvtColor(img_2d, cv2.COLOR_BGR2RGB)
+                img_3d = plot_pose_3d(pose_3d, pred_3d[i])
+                ratio = img_2d.shape[1] / img_3d.shape[1]
+                img_3d = cv2.resize(img_3d,
+                                    (int(img_3d.shape[1] * ratio),
+                                     int(img_3d.shape[0] * ratio)))
+                frames.append(np.vstack((img_2d, img_3d)))
+        if frames:
+            cv2.imwrite(out_jpg, cv2.cvtColor(frames[-1], cv2.COLOR_RGB2BGR))
         return frames
 
 

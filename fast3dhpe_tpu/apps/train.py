@@ -22,13 +22,20 @@ def main():
                         help="write loss curves here after training")
     parser.add_argument("--resume", action="store_true",
                         help="continue from weights/<NAME>/latest")
+    parser.add_argument("--log_every", type=int, default=None,
+                        help="log per-step loss/grad-norm/lr + live "
+                             "throughput every N steps")
     args = parser.parse_args()
+
+    from ..parallel.distributed import init_distributed
+    init_distributed()   # no-op unless JAX_COORDINATOR_ADDRESS is set
 
     config = load_config(args.config_path)
     loop2d.run(config, overwrite=args.overwrite,
                weights_root=args.weights_root, seed=args.seed,
                compute_dtype="bfloat16" if args.bf16 else "float32",
-               plot_dir=args.plot_dir, resume=args.resume)
+               plot_dir=args.plot_dir, resume=args.resume,
+               log_every=args.log_every)
 
 
 if __name__ == "__main__":

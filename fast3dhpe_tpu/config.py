@@ -43,6 +43,10 @@ class ExtraConfig:
     TARGET_TYPE: str = "gaussian"
     SIGMA: int = 3
     HEATMAP_SIZE: List[int] = field(default_factory=lambda: [64, 64])
+    # differentiable-DLT backend for CDRNet: "jacobi" (default, batched
+    # one-sided Jacobi SVD), "svd" (XLA generic), or "sii" (SVD-free
+    # shifted inverse iterations [ref: models/cdrnet.py:181-222])
+    DLT_METHOD: str = "jacobi"
     extra: dict = field(default_factory=dict)
 
 
@@ -68,6 +72,9 @@ class DatasetConfig:
     SCALE_FACTOR: float = 0.25
     # "CUTOUT" | "HNS" | "None"/None (reference: dataset/base.py:40-45)
     OCCLUSION: Optional[str] = None
+    # byte budget for the host RAM cache of decoded frames (0 = off);
+    # framework extension — absent from the reference schema
+    CACHE_BYTES: int = 0
     extra: dict = field(default_factory=dict)
 
 
@@ -120,6 +127,10 @@ class Config:
         occl = self.DATASET.OCCLUSION
         if occl not in (None, "None", "CUTOUT", "HNS"):
             raise ValueError(f"Unknown DATASET.OCCLUSION {occl}")
+        if self.MODEL.EXTRA.DLT_METHOD not in ("jacobi", "svd", "sii"):
+            raise ValueError(
+                f"Unknown MODEL.EXTRA.DLT_METHOD "
+                f"{self.MODEL.EXTRA.DLT_METHOD!r}")
         return self
 
 

@@ -68,11 +68,13 @@ def _check_occlusion(pose_2d, keep_mask):
     return vals
 
 
-@partial(jax.jit, static_argnames=("image_size", "occlusion", "train"))
+@partial(jax.jit, static_argnames=("image_size", "occlusion", "train",
+                                   "return_masks"))
 def preprocess_stereo_batch(key, img_l, img_r, trans, P_l, P_r, pose_3d,
                             joints_vis, image_size: Tuple[int, int],
                             occlusion: Optional[str] = None,
-                            train: bool = False, occl_prob: float = 0.3):
+                            train: bool = False, occl_prob: float = 0.3,
+                            return_masks: bool = False):
     """Full stereo preprocessing on device.
 
     Args:
@@ -86,9 +88,12 @@ def preprocess_stereo_batch(key, img_l, img_r, trans, P_l, P_r, pose_3d,
       occlusion: None | "CUTOUT" | "HNS".
       train: occlusion + visibility processing only in training
         [ref: dataset/mads_3d.py:57-60, 218-221].
+      return_masks: also return the occlusion keep-masks, for the
+        mask-inspection view [ref: tools/visualize.py:35-63].
     Returns:
       dict: image (B, 2, H, W, 3) normalized; proj (B, 2, 3, 4) composed;
-      target_3d (B, J, 3); target_2d (B, 2, J, 2); target_weight (B, J).
+      target_3d (B, J, 3); target_2d (B, 2, J, 2); target_weight (B, J);
+      (+ keep_mask (B, 2, H, W) bool if return_masks).
     """
     B = img_l.shape[0]
     W, H = image_size
@@ -132,13 +137,16 @@ def preprocess_stereo_batch(key, img_l, img_r, trans, P_l, P_r, pose_3d,
     proj = jnp.stack([P_l_new[:, :3], P_r_new[:, :3]], axis=1)
     target_2d = jnp.stack([target_2d_l, target_2d_r], axis=1)
 
-    return {
+    out = {
         "image": image,
         "proj": proj,
         "target_3d": jnp.asarray(pose_3d, jnp.float32),
         "target_2d": target_2d,
         "target_weight": weight,
     }
+    if return_masks:
+        out["keep_mask"] = jnp.stack([keep_l, keep_r], axis=1)
+    return out
 
 
 @partial(jax.jit, static_argnames=("image_size", "heatmap_size", "sigma"))

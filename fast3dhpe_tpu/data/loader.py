@@ -7,6 +7,18 @@ host threads only decode JPEGs and draw per-sample affine randomness
 warp / occlusion / normalization / target math runs on device
 (data/device_pipeline.py). A background prefetch thread keeps one batch
 in flight.
+
+Padding: the final partial batch is padded by repeating the last record
+(static shapes for jit); every batch carries a "row_valid" (B,) 0/1 mask
+that the train/eval steps use to exclude padded rows from gradients and
+metrics. The mask is batch-sharded like the data, so its sum is the
+GLOBAL valid count under a mesh — multi-host correct.
+
+Multi-host: when jax.process_count() > 1, each process keeps only its
+[process_index::process_count] slice of the record index
+(parallel.distributed.shard_records_for_host) and all processes run the
+same number of per-epoch batches (computed from the LARGEST shard, short
+shards padding with row_valid=0 rows) so the SPMD steps stay in lockstep.
 """
 
 from __future__ import annotations
@@ -15,7 +27,7 @@ import math
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 import numpy as np
 
@@ -26,7 +38,7 @@ from ..geometry.affine import (
 from .mads import (build_mads_index, build_mads_stereo_index,
                    MADS_FLIP_PAIRS)
 from .mpii import build_mpii_index, MPII_FLIP_PAIRS
-from .device_pipeline import preprocess_stereo_batch
+from .device_pipeline import preprocess_stereo_batch, preprocess_mono_batch
 
 
 def _imread(path: str) -> np.ndarray:
@@ -46,29 +58,49 @@ def _imread(path: str) -> np.ndarray:
 
 
 def _prefetch(gen: Iterator, depth: int = 2) -> Iterator:
-    """Run `gen` in a background thread with a bounded queue."""
+    """Run `gen` in a background thread with a bounded queue.
+
+    Abandoning the iterator early (loops do, with max_steps_per_epoch)
+    must not leak the worker: the worker's puts poll a stop event, and the
+    consumer's finally sets it — so a closed/garbage-collected iterator
+    releases the thread and its buffered batches promptly.
+    """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
     error_box: List = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # propagate into the consumer
             error_box.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
-    t = threading.Thread(target=worker, daemon=True)
+    t = threading.Thread(target=worker, daemon=True, name="f3d-prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error_box:
-                raise error_box[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error_box:
+                    raise error_box[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 class _BatchDecoder:
@@ -102,16 +134,38 @@ def _train_scale_rot(rng: np.random.RandomState, sf: float, rf: float):
     return s, r
 
 
+def _shard_for_host(records):
+    """Multi-host: keep this process's slice; return (local_records,
+    global_count)."""
+    if jax.process_count() > 1:
+        from ..parallel.distributed import shard_records_for_host
+        return shard_records_for_host(records), len(records)
+    return records, len(records)
+
+
+def _num_lockstep_batches(global_n: int, batch_size: int) -> int:
+    """Per-epoch batch count every host runs (from the largest shard)."""
+    max_shard = math.ceil(global_n / max(jax.process_count(), 1))
+    return math.ceil(max_shard / batch_size)
+
+
+def _row_mask(n_valid: int, batch_size: int) -> np.ndarray:
+    m = np.zeros((batch_size,), np.float32)
+    m[:n_valid] = 1.0
+    return m
+
+
 class Stereo3DLoader:
     """MADS stereo batches for CDRNet training/eval.
 
-    Yields device-ready dicts (see preprocess_stereo_batch). The final
-    partial batch is padded by repeating the last record (static shapes
-    for jit); `n_valid` reports the unpadded count.
+    Yields device-ready dicts (see preprocess_stereo_batch) carrying a
+    "row_valid" (B,) mask; padded rows repeat the last record (static
+    shapes for jit) and are masked out by the train/eval steps.
     """
 
     def __init__(self, cfg, image_set: str, mesh=None, seed: int = 0,
-                 decode_threads: int = 4, cache_bytes: int = 0):
+                 decode_threads: int = 4, cache_bytes: int = 0,
+                 return_masks: bool = False):
         """cache_bytes > 0 enables an in-RAM cache of decoded uint8 frames
         (exact numerics — frames are cached pre-warp). Epochs after the
         first skip JPEG decode entirely for cached frames; on this class of
@@ -120,7 +174,8 @@ class Stereo3DLoader:
         self.cfg = cfg
         self.image_set = image_set
         self.train = image_set == cfg.DATASET.TRAIN_SET
-        self.records = build_mads_stereo_index(cfg.DATASET.ROOT, image_set)
+        records = build_mads_stereo_index(cfg.DATASET.ROOT, image_set)
+        self.records, self._global_num = _shard_for_host(records)
         self.batch_size = (cfg.TRAIN.BATCH_SIZE if self.train
                            else cfg.TEST.BATCH_SIZE)
         self.image_size = tuple(cfg.MODEL.IMAGE_SIZE)
@@ -135,13 +190,16 @@ class Stereo3DLoader:
         self._cache_budget = cache_bytes
         self._cache_used = 0
         self._cache = {}         # path -> uint8 array
+        # include the occlusion keep-masks in each batch (inspection
+        # tooling [ref: tools/visualize.py:35-63]); off in training
+        self.return_masks = return_masks
 
     def __len__(self):
-        return math.ceil(len(self.records) / self.batch_size)
+        return _num_lockstep_batches(self._global_num, self.batch_size)
 
     @property
     def num_samples(self):
-        return len(self.records)
+        return self._global_num
 
     def _decode_stereo(self, recs: List[dict]):
         """Decode both views; native C++ batch decoder when available
@@ -197,10 +255,12 @@ class Stereo3DLoader:
         order = (rng.permutation(len(self.records)) if self.train
                  else np.arange(len(self.records)))
         B = self.batch_size
-        for start in range(0, len(order), B):
-            idx = order[start:start + B]
+        for b in range(len(self)):
+            idx = order[b * B:(b + 1) * B]
+            n_valid = len(idx)
             recs = [self.records[i] for i in idx]
-            n_valid = len(recs)
+            if not recs:         # lockstep batch beyond this host's shard
+                recs = [self.records[0]]
             while len(recs) < B:                        # pad final batch
                 recs.append(recs[-1])
             yield n_valid, self._host_batch(recs, rng)
@@ -219,11 +279,11 @@ class Stereo3DLoader:
                     hb["P_l"], hb["P_r"], hb["pose_3d"], hb["joints_vis"],
                     image_size=self.image_size,
                     occlusion=(self.occlusion if self.train else None),
-                    train=self.train)
+                    train=self.train, return_masks=self.return_masks)
+                batch["row_valid"] = _row_mask(n_valid, self.batch_size)
                 if self.mesh is not None:
                     from ..parallel import shard_batch
                     batch = shard_batch(self.mesh, batch)
-                batch["n_valid"] = n_valid
                 yield batch
 
         return _prefetch(gen())
@@ -233,30 +293,37 @@ class Mono2DLoader:
     """Single-view batches for PoseResNet training/eval (MPII / MADS_2d).
 
     Per-sample flip/scale/rot randomness and the joint-coordinate affine
-    happen on host exactly as the reference [ref: dataset/base.py:56-98];
-    image warping happens on host only for variable-size sources (MPII),
-    via the same affine; heatmap rendering + normalization run batched on
-    device.
+    happen on host exactly as the reference [ref: dataset/base.py:56-98].
+    For fixed-size sources (MADS_2d) the image warp + normalization +
+    heatmap render run as ONE jitted device program
+    (device_pipeline.preprocess_mono_batch); variable-size sources (MPII)
+    warp on host cv2 per sample, then render targets on device.
     """
 
     def __init__(self, cfg, image_set: str, mesh=None, seed: int = 0,
-                 decode_threads: int = 4):
+                 decode_threads: int = 4,
+                 device_preprocess: Optional[bool] = None):
         self.cfg = cfg
         self.image_set = image_set
         self.train = image_set == cfg.DATASET.TRAIN_SET
         dataset_type = cfg.DATASET.TYPE
         if dataset_type == "MPII":
-            self.records = build_mpii_index(cfg.DATASET.ROOT, image_set,
-                                            cfg.MODEL.NUM_JOINTS)
+            records = build_mpii_index(cfg.DATASET.ROOT, image_set,
+                                       cfg.MODEL.NUM_JOINTS)
             self.flip_pairs = MPII_FLIP_PAIRS
             self.origin_size_fn = lambda img, rec: 200  # MPII scale units
         elif dataset_type == "MADS_2d":
-            self.records = build_mads_index(cfg.DATASET.ROOT, image_set)
+            records = build_mads_index(cfg.DATASET.ROOT, image_set)
             self.flip_pairs = MADS_FLIP_PAIRS
             self.origin_size_fn = lambda img, rec: min(img.shape[:2])
         else:
             raise NotImplementedError(dataset_type)
+        self.records, self._global_num = _shard_for_host(records)
         self.dataset_type = dataset_type
+        # device warp needs fixed-size raw frames -> MADS only by default
+        self.device_preprocess = (dataset_type == "MADS_2d"
+                                  if device_preprocess is None
+                                  else device_preprocess)
         self.batch_size = (cfg.TRAIN.BATCH_SIZE if self.train
                            else cfg.TEST.BATCH_SIZE)
         self.image_size = tuple(cfg.MODEL.IMAGE_SIZE)
@@ -272,17 +339,23 @@ class Mono2DLoader:
         self._decode_paths = _BatchDecoder(self._pool)
 
     def __len__(self):
-        return math.ceil(len(self.records) / self.batch_size)
+        return _num_lockstep_batches(self._global_num, self.batch_size)
 
     @property
     def num_samples(self):
-        return len(self.records)
+        return self._global_num
 
     def _prepare_sample(self, rec, aug, img):
         """aug: (scale_mult, rot_deg, do_flip) drawn on the main thread —
         RandomState is not thread-safe, so randomness never crosses into
         the worker pool. `img` is the pre-decoded frame (batch-decoded,
-        native C++ path for fixed-size sources)."""
+        native C++ path for fixed-size sources).
+
+        Returns (img, trans, joints_t, vis): `img` is host-warped for the
+        host path, or the raw (possibly flipped) frame for the device
+        path; joints are always transformed to output coords on host
+        (they depend on per-sample python RNG exactly as the reference).
+        """
         h, w = img.shape[:2]
 
         if self.dataset_type == "MPII":
@@ -309,14 +382,15 @@ class Mono2DLoader:
             c[0] = img.shape[1] - c[0] - 1
 
         trans = get_affine_transform(c, s, r, origin_size, self.image_size)
-        warped = self._warp_host(img, trans)
         # transform only visible joints [ref: dataset/base.py:94-96]
         visible = vis[:, 0] > 0
         joints_t = joints.copy()
         if visible.any():
             joints_t[visible] = affine_transform_points(
                 joints[visible], trans)
-        return warped, joints_t, vis[:, 0]
+        if not self.device_preprocess:
+            img = self._warp_host(img, trans)
+        return img, trans.astype(np.float32), joints_t, vis[:, 0]
 
     def _warp_host(self, img, trans):
         try:
@@ -334,9 +408,11 @@ class Mono2DLoader:
         order = (rng.permutation(len(self.records)) if self.train
                  else np.arange(len(self.records)))
         B = self.batch_size
-        for start in range(0, len(order), B):
-            idx = list(order[start:start + B])
+        for b in range(len(self)):
+            idx = list(order[b * B:(b + 1) * B])
             n_valid = len(idx)
+            if not idx:          # lockstep batch beyond this host's shard
+                idx = [0]
             while len(idx) < B:
                 idx.append(idx[-1])
             augs = []
@@ -354,10 +430,11 @@ class Mono2DLoader:
                 lambda ia: self._prepare_sample(
                     self.records[ia[0]], ia[1], ia[2]),
                 zip(idx, augs, imgs_raw)))
-            imgs = np.stack([s[0] for s in samples])
-            joints = np.stack([s[1] for s in samples]).astype(np.float32)
-            vis = np.stack([s[2] for s in samples]).astype(np.float32)
-            yield n_valid, imgs, joints, vis
+            imgs = np.stack([np.ascontiguousarray(s[0]) for s in samples])
+            trans = np.stack([s[1] for s in samples])
+            joints = np.stack([s[2] for s in samples]).astype(np.float32)
+            vis = np.stack([s[3] for s in samples]).astype(np.float32)
+            yield n_valid, imgs, trans, joints, vis
 
     def __iter__(self):
         rng = np.random.RandomState(self.seed + self._epoch)
@@ -366,19 +443,26 @@ class Mono2DLoader:
         def gen():
             from ..ops.warp import normalize_imagenet
             from ..ops.heatmap import render_gaussian_heatmaps
-            for n_valid, imgs, joints, vis in self._epoch_host_batches(rng):
-                target, weight = render_gaussian_heatmaps(
-                    joints, vis, self.heatmap_size, self.image_size,
-                    self.sigma)
-                batch = {
-                    "image": normalize_imagenet(imgs),
-                    "target": target,
-                    "target_weight": weight,
-                }
+            for n_valid, imgs, trans, joints, vis in \
+                    self._epoch_host_batches(rng):
+                if self.device_preprocess:
+                    batch = preprocess_mono_batch(
+                        imgs, trans, joints, vis,
+                        image_size=self.image_size,
+                        heatmap_size=self.heatmap_size, sigma=self.sigma)
+                else:
+                    target, weight = render_gaussian_heatmaps(
+                        joints, vis, self.heatmap_size, self.image_size,
+                        self.sigma)
+                    batch = {
+                        "image": normalize_imagenet(imgs),
+                        "target": target,
+                        "target_weight": weight,
+                    }
+                batch["row_valid"] = _row_mask(n_valid, self.batch_size)
                 if self.mesh is not None:
                     from ..parallel import shard_batch
                     batch = shard_batch(self.mesh, batch)
-                batch["n_valid"] = n_valid
                 yield batch
 
         return _prefetch(gen())
@@ -390,14 +474,16 @@ def load_data(config, mesh=None, seed: int = 0):
     Returns (train_loader, valid_loader).
     """
     t = config.DATASET.TYPE
+    kwargs = {}
     if t in ("MPII", "MADS_2d"):
         cls = Mono2DLoader
     elif t == "MADS_3d":
         cls = Stereo3DLoader
+        kwargs["cache_bytes"] = config.DATASET.CACHE_BYTES
     else:
         raise NotImplementedError(t)
     train_loader = cls(config, config.DATASET.TRAIN_SET, mesh=mesh,
-                       seed=seed)
+                       seed=seed, **kwargs)
     valid_loader = cls(config, config.DATASET.TEST_SET, mesh=mesh,
-                       seed=seed + 1)
+                       seed=seed + 1, **kwargs)
     return train_loader, valid_loader

@@ -89,15 +89,20 @@ def rodrigues(rvec):
     Returns:
       (..., 3, 3) rotation matrix.
     """
-    rvec = jnp.asarray(rvec, jnp.float32).reshape(-1)[:3]
-    theta = jnp.linalg.norm(rvec)
+    rvec = jnp.asarray(rvec, jnp.float32)
+    if rvec.shape[-1] != 3:
+        raise ValueError(f"rvec must have trailing dim 3, got {rvec.shape}")
+    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=True)   # (..., 1)
     eps = 1e-12
-    k = rvec / (theta + eps)
-    K = jnp.array([
-        [0.0, -k[2], k[1]],
-        [k[2], 0.0, -k[0]],
-        [-k[1], k[0], 0.0],
-    ], jnp.float32)
-    I = jnp.eye(3, dtype=jnp.float32)
-    R = I + jnp.sin(theta) * K + (1.0 - jnp.cos(theta)) * (K @ K)
-    return jnp.where(theta < eps, I, R)
+    k = rvec / (theta + eps)                                 # (..., 3)
+    zeros = jnp.zeros_like(k[..., 0])
+    # skew-symmetric cross-product matrix, batched over leading axes
+    K = jnp.stack([
+        jnp.stack([zeros, -k[..., 2], k[..., 1]], axis=-1),
+        jnp.stack([k[..., 2], zeros, -k[..., 0]], axis=-1),
+        jnp.stack([-k[..., 1], k[..., 0], zeros], axis=-1),
+    ], axis=-2)                                              # (..., 3, 3)
+    I = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), K.shape)
+    t = theta[..., None]                                     # (..., 1, 1)
+    R = I + jnp.sin(t) * K + (1.0 - jnp.cos(t)) * (K @ K)
+    return jnp.where(t < eps, I, R)

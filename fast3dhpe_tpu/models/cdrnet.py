@@ -197,4 +197,5 @@ class CDRNet(nn.Module):
     @classmethod
     def from_config(cls, cfg, dtype=jnp.float32):
         return cls(num_joints=cfg.MODEL.NUM_JOINTS,
-                   num_layers=cfg.MODEL.NUM_LAYERS, dtype=dtype)
+                   num_layers=cfg.MODEL.NUM_LAYERS,
+                   dlt_method=cfg.MODEL.EXTRA.DLT_METHOD, dtype=dtype)

@@ -77,12 +77,30 @@ def mpjpe_loss(pred, target, target_weight=None):
 def make_loss(loss_type: str, use_target_weight: bool, layout="BJHW"):
     """Loss factory mirroring the reference dispatch [ref: train.py:53-60].
 
-    Returns fn(pred, target, target_weight) -> scalar.
+    Returns fn(pred, target, target_weight, sample_mask=None) -> scalar.
+
+    sample_mask: optional (B,) 0/1 per-row validity. The loaders pad the
+    final partial batch (static shapes for jit); masked rows contribute
+    zero residual and the mean is renormalized to the VALID rows only, so
+    the result equals the reference's mean over its smaller final batch
+    [ref: train.py:84-107 iterates un-padded torch batches]. Under a
+    data-parallel mesh the mask is batch-sharded with the rest of the
+    batch, so sum(mask) is the GLOBAL valid count and the normalization
+    stays exact across hosts.
     """
     def wrap(fn):
-        def call(pred, target, target_weight=None):
+        def call(pred, target, target_weight=None, sample_mask=None):
             tw = target_weight if use_target_weight else None
-            return fn(pred, target, tw)
+            if sample_mask is None:
+                return fn(pred, target, tw)
+            m = jnp.asarray(sample_mask, jnp.float32)       # (B,)
+            if tw is None:
+                tw_m = m[:, None]                           # (B, 1) broadcasts
+            else:
+                tw_a = jnp.asarray(tw)
+                tw_m = tw_a * m.reshape((-1,) + (1,) * (tw_a.ndim - 1))
+            scale = m.shape[0] / jnp.maximum(jnp.sum(m), 1.0)
+            return fn(pred, target, tw_m) * scale
         return call
 
     if loss_type == "JointsMSE":

@@ -13,7 +13,53 @@ import jax.numpy as jnp
 from ..ops.heatmap import hard_argmax
 
 
-def pck_accuracy(output, target, thr: float = 0.05):
+def pck_counts(output, target, thr: float = 0.05, row_mask=None):
+    """Per-joint PCK hit / valid counts — the accumulatable form.
+
+    Summing (hits, cnt) over an epoch and finishing with pck_from_counts
+    gives a per-SAMPLE-exact epoch accuracy (invariant to batch size and
+    final-batch padding), unlike averaging per-batch accuracies.
+
+    Args:
+      output, target: (B, H, W, J) heatmaps (NHWC).
+      row_mask: optional (B,) 0/1 validity — padded rows are excluded.
+    Returns:
+      hits: (J,) float32; cnt: (J,) float32; pred: (B, J, 2).
+    """
+    pred, _ = hard_argmax(output)
+    gt, _ = hard_argmax(target)
+    H, W = output.shape[-3], output.shape[-2]
+    norm = jnp.array([H, W], jnp.float32) / 10.0
+
+    valid = (gt[..., 0] > 1) & (gt[..., 1] > 1)          # (B, J)
+    if row_mask is not None:
+        valid = valid & (jnp.asarray(row_mask) > 0)[:, None]
+    d = jnp.linalg.norm((pred - gt) / norm, axis=-1)     # (B, J)
+    hit = (d < thr) & valid
+    return (jnp.sum(hit, axis=0).astype(jnp.float32),
+            jnp.sum(valid, axis=0).astype(jnp.float32), pred)
+
+
+def pck_from_counts(hits, cnt):
+    """(avg_acc, per_joint) from accumulated pck_counts sums.
+
+    Per-joint accuracy is -1 where no valid samples; the average covers
+    joints with any valid sample (the reference's dists == -1 convention
+    [ref: models/metrics.py:21-62])."""
+    hits = jnp.asarray(hits, jnp.float32)
+    cnt = jnp.asarray(cnt, jnp.float32)
+    per_joint = jnp.where(cnt > 0, hits / jnp.maximum(cnt, 1.0), -1.0)
+    has_valid = cnt > 0
+    n_valid_joints = jnp.sum(has_valid)
+    avg = jnp.where(
+        n_valid_joints > 0,
+        jnp.sum(jnp.where(has_valid, per_joint, 0.0)) / jnp.maximum(
+            n_valid_joints, 1),
+        0.0)
+    return avg, per_joint
+
+
+def pck_accuracy(output, target, thr: float = 0.05, row_mask=None):
     """PCK@thr on heatmaps via argmax decode of pred AND ground truth.
     [ref: models/metrics.py:6-62]
 
@@ -24,30 +70,14 @@ def pck_accuracy(output, target, thr: float = 0.05):
 
     Args:
       output, target: (B, H, W, J) heatmaps (NHWC).
+      row_mask: optional (B,) 0/1 validity — padded rows are excluded.
     Returns:
       avg_acc: scalar mean accuracy over joints with any valid sample.
       per_joint: (J,) accuracy per joint, -1 where no valid samples.
       pred: (B, J, 2) decoded predictions.
     """
-    pred, _ = hard_argmax(output)
-    gt, _ = hard_argmax(target)
-    H, W = output.shape[-3], output.shape[-2]
-    norm = jnp.array([H, W], jnp.float32) / 10.0
-
-    valid = (gt[..., 0] > 1) & (gt[..., 1] > 1)          # (B, J)
-    d = jnp.linalg.norm((pred - gt) / norm, axis=-1)     # (B, J)
-    hit = (d < thr) & valid
-
-    cnt = jnp.sum(valid, axis=0)                          # (J,)
-    per_joint = jnp.where(cnt > 0, jnp.sum(hit, axis=0) / jnp.maximum(cnt, 1),
-                          -1.0)
-    has_valid = cnt > 0
-    n_valid_joints = jnp.sum(has_valid)
-    avg = jnp.where(
-        n_valid_joints > 0,
-        jnp.sum(jnp.where(has_valid, per_joint, 0.0)) / jnp.maximum(
-            n_valid_joints, 1),
-        0.0)
+    hits, cnt, pred = pck_counts(output, target, thr, row_mask)
+    avg, per_joint = pck_from_counts(hits, cnt)
     return avg, per_joint, pred
 
 

@@ -24,12 +24,16 @@ def init_distributed(coordinator_address: Optional[str] = None,
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None:
         return
+    # `x if x is not None else env` — NOT `x or env`: an explicit 0 is a
+    # valid process_id and must not be overridden by the env var.
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     jax.distributed.initialize(
         coordinator_address=addr,
-        num_processes=(num_processes
-                       or int(os.environ.get("JAX_NUM_PROCESSES", "1"))),
-        process_id=(process_id
-                    or int(os.environ.get("JAX_PROCESS_ID", "0"))),
+        num_processes=num_processes,
+        process_id=process_id,
     )
 
 

@@ -60,12 +60,20 @@ def shard_batch(mesh: Mesh, batch):
     """Place a pytree of host arrays onto the mesh, batch-sharded on axis 0.
 
     Batch sizes must be divisible by the data-axis size (static shapes —
-    the loaders pad/trim accordingly).
+    the loaders pad/trim accordingly). Under multiple processes each host
+    supplies its LOCAL rows of the global batch
+    (jax.make_array_from_process_local_data assembles the global array);
+    the loaders shard their record index per host accordingly.
     """
     sharding = batch_sharding(mesh)
 
-    def put(x):
-        return jax.device_put(x, sharding)
+    if jax.process_count() > 1:
+        def put(x):
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+    else:
+        def put(x):
+            return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -305,3 +305,18 @@ def restore_checkpoint(path: str, template):
         return None
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, template)
+
+
+def restore_checkpoint_compat(path: str, template: dict, optional_keys=()):
+    """restore_checkpoint tolerating checkpoints that predate newer
+    top-level keys (e.g. "best_metric"): on a structure mismatch, retry
+    without the optional keys. Returns None if no checkpoint exists; the
+    returned dict simply lacks the optional keys when the checkpoint does.
+    """
+    try:
+        return restore_checkpoint(path, template)
+    except Exception:
+        slim = {k: v for k, v in template.items() if k not in optional_keys}
+        if len(slim) == len(template):
+            raise
+        return restore_checkpoint(path, slim)

@@ -5,6 +5,14 @@ then loss = LOSS_3D_WEIGHT * crit(0.1 * 3D) + sum of 2D losses, grad-norm
 clipping at 100 post-warmup, best checkpoint on val 3D MPJPE only after
 warmup. The warmup switch is a traced boolean (no recompile at the
 boundary).
+
+Loop mechanics (deliberate upgrades over the reference):
+  - metrics accumulate ON DEVICE; the host fetches once per epoch (and per
+    --log_every window) — no per-step float() syncs;
+  - padded final batches are masked out of gradients/metrics (row_valid);
+    val MPJPE is per-FRAME-exact, invariant to TEST.BATCH_SIZE;
+  - the best val metric is persisted in the checkpoint so --resume does
+    not overwrite a better historical best.
 """
 
 from __future__ import annotations
@@ -19,12 +27,13 @@ import jax.numpy as jnp
 from ..config import Config
 from ..models import CDRNet, make_loss
 from ..data import load_data
-from .state import TrainState, make_optimizer
+from .state import TrainState, make_optimizer, multistep_lr
 from .steps import make_train_step_cdr, make_eval_step_cdr
 from .checkpoint import (save_checkpoint, load_torch_checkpoint,
                          merge_encoder_only)
-from .loop2d import _prepare_model_dir, _state_tree
+from .loop2d import _prepare_model_dir, _state_tree, _tree_add, _restore_state
 from ..utils.logging import setup_logger
+from ..utils.profiling import ThroughputMeter
 
 SCALE_3D = 0.1      # [ref: train_cdr.py:74]
 BASE_JOINT = 1      # [ref: train_cdr.py:73]
@@ -34,12 +43,15 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         weights_root: str = "weights", max_epochs: Optional[int] = None,
         max_steps_per_epoch: Optional[int] = None, seed: int = 0,
         compute_dtype: str = "float32", plot_dir: Optional[str] = None,
-        resume: bool = False) -> Dict:
+        resume: bool = False, log_every: Optional[int] = None) -> Dict:
     """Train CDRNet; returns history (losses + val MPJPE per epoch).
 
     compute_dtype: "float32" or "bfloat16" (params/BN stats stay fp32).
     resume: continue from weights/<NAME>/latest (true resume incl.
-    optimizer state + step; warmup accounting follows the restored epoch).
+    optimizer state + step + best metric; warmup accounting follows the
+    restored epoch).
+    log_every: if set, log per-step loss/grad-norm/lr + live pairs/s every
+    N steps (reference parity: the pbar [ref: train_cdr.py:129-141]).
     """
     logger = setup_logger()
     model_path = os.path.join(weights_root, config.MODEL.NAME)
@@ -66,25 +78,17 @@ def run(config: Config, mesh=None, overwrite: bool = False,
 
     steps_per_epoch = len(train_loader)
     tx = make_optimizer(config, steps_per_epoch)
+    schedule = multistep_lr(config.TRAIN.LR, config.TRAIN.LR_STEP,
+                            config.TRAIN.LR_FACTOR, steps_per_epoch)
     state = TrainState.create(variables, tx)
 
     start_epoch = 0
+    best_err = float("inf")
     if resume:
-        from .checkpoint import restore_checkpoint
-        restored = restore_checkpoint(os.path.join(model_path, "latest"),
-                                      _state_tree(state))
-        if restored is not None:
-            state = state.replace(
-                step=jnp.asarray(restored["step"]),
-                params=restored["params"],
-                batch_stats=restored["batch_stats"],
-                opt_state=restored["opt_state"])
-            start_epoch = int(restored["step"]) // max(steps_per_epoch, 1)
-            logger.info("Resumed from step %d (epoch %d)",
-                        int(restored["step"]), start_epoch)
-        else:
-            os.makedirs(model_path, exist_ok=True)
-            logger.info("No checkpoint to resume; starting fresh")
+        state, start_step, best = _restore_state(model_path, state, logger)
+        start_epoch = start_step // max(steps_per_epoch, 1)
+        if best is not None and best > 0:
+            best_err = best
 
     if mesh is not None:
         from ..parallel import replicate
@@ -103,56 +107,79 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     n_epochs = max_epochs if max_epochs is not None else config.TRAIN.EPOCH
     warmup = config.TRAIN.WARMUP
     history = {"train_loss": [], "val_loss": [], "val_mpjpe_3d": [],
-               "val_mpjpe_2d": [], "grad_norm": []}
-    best_err = float("inf")
+               "val_mpjpe_2d": [], "grad_norm": [],
+               "train_pairs_per_sec": []}
+    meter = ThroughputMeter(window=max(50, 2 * (log_every or 1)))
+    global_step = start_epoch * steps_per_epoch
 
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
         use_3d = jnp.asarray(epoch >= warmup)
 
-        tl, gn, n = 0.0, 0.0, 0
+        acc_tree, n = None, 0
+        meter.reset()
+        meter.start()
         for i, batch in enumerate(train_loader):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
-            batch.pop("n_valid", None)
             state, m = train_step(state, batch, use_3d)
-            tl += float(m["loss"])
-            gn += float(m["grad_norm"])
+            acc_tree = m if acc_tree is None else _tree_add(acc_tree, m)
             n += 1
-        tl, gn = tl / max(n, 1), gn / max(n, 1)
+            global_step += 1
+            meter.step(batch["image"].shape[0])
+            if log_every and (i + 1) % log_every == 0:
+                mm = jax.device_get(m)          # the only mid-epoch sync
+                logger.info(
+                    "  step %d/%d loss %.5f (2d %.5f 3d %.5f) |grad| %.2f "
+                    "lr %.2e  %.1f pairs/s", i + 1, steps_per_epoch,
+                    float(mm["loss"]), float(mm["loss_2d"]),
+                    float(mm["loss_3d"]), float(mm["grad_norm"]),
+                    float(schedule(global_step)), meter.samples_per_sec)
+        tr = (jax.device_get(acc_tree) if acc_tree is not None
+              else {"loss": 0.0, "grad_norm": 0.0})
+        tl = float(tr["loss"]) / max(n, 1)
+        gn = float(tr["grad_norm"]) / max(n, 1)
+        train_pps = meter.samples_per_sec
 
-        vl, e2, e3, nv = 0.0, 0.0, 0.0, 0
+        ev_acc = None
         for i, batch in enumerate(valid_loader):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
-            batch.pop("n_valid", None)
             m = eval_step(state, batch, use_3d)
-            vl += float(m["loss"])
-            e2 += float(m["mpjpe_2d"])
-            e3 += float(m["mpjpe_3d"])
-            nv += 1
-        vl = vl / max(nv, 1)
-        e2, e3 = e2 / max(nv, 1), e3 / max(nv, 1)
+            part = {"loss_sum": m["loss_sum"], "e2_sum": m["e2_sum"],
+                    "e3_sum": m["e3_sum"], "n": m["n"]}
+            ev_acc = part if ev_acc is None else _tree_add(ev_acc, part)
+        if ev_acc is not None:
+            ev = jax.device_get(ev_acc)
+            nv = max(float(ev["n"]), 1.0)
+            vl = float(ev["loss_sum"]) / nv
+            e2 = float(ev["e2_sum"]) / nv
+            e3 = float(ev["e3_sum"]) / nv
+        else:
+            vl, e2, e3 = 0.0, 0.0, 0.0
 
         history["train_loss"].append(tl)
         history["val_loss"].append(vl)
         history["val_mpjpe_2d"].append(e2)
         history["val_mpjpe_3d"].append(e3)
         history["grad_norm"].append(gn)
-        logger.info("epoch %d/%d%s  train loss %.5f |grad| %.2f | "
-                    "val loss %.5f MPJPE2D %.2fpx MPJPE3D %.2fmm  (%.1fs)",
+        history["train_pairs_per_sec"].append(train_pps)
+        logger.info("epoch %d/%d%s  train loss %.5f |grad| %.2f "
+                    "(%.1f pairs/s) | val loss %.5f MPJPE2D %.2fpx "
+                    "MPJPE3D %.2fmm  (%.1fs)",
                     epoch + 1, n_epochs,
                     " [warmup]" if epoch < warmup else "",
-                    tl, gn, vl, e2, e3, time.time() - t0)
+                    tl, gn, train_pps, vl, e2, e3, time.time() - t0)
 
         # best only post-warmup [ref: train_cdr.py:223-228]
         if e3 < best_err and epoch > warmup:
             best_err = e3
             save_checkpoint(os.path.join(model_path, "best"),
-                            _state_tree(state))
+                            _state_tree(state, best_err))
             logger.info("Saved new best (val 3D MPJPE %.2fmm)", e3)
         save_checkpoint(os.path.join(model_path, "latest"),
-                        _state_tree(state))
+                        _state_tree(state, best_err if best_err != float(
+                            "inf") else 0.0))
 
     if plot_dir:
         from ..utils import plot_loss

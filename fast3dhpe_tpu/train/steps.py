@@ -7,7 +7,19 @@ turns the gradient reduction into a psum over ICI — no explicit
 collectives needed.
 
 The per-step metric computation stays on device (the reference syncs to
-host numpy every step [ref: train.py:99-100]); only scalars leave.
+host numpy every step [ref: train.py:99-100]); only scalars leave, and
+only when the loop actually fetches them (the loops accumulate metric
+trees on device and fetch once per epoch / per --log_every window).
+
+Padded final batches: the loaders emit `batch["row_valid"]` — a (B,) 0/1
+mask, batch-sharded like the data. Steps mask padded rows out of the loss
+(gradients never see duplicated samples) and out of every metric, and the
+loss mean is renormalized to valid rows, matching the reference's smaller
+final torch batch. Because the mask is sharded, sum(mask) is the GLOBAL
+valid count under a mesh — correct on multi-host too. BN batch stats are
+the one place padding still leaks in (masked BN would need a custom
+normalizer); padded rows duplicate the last REAL sample, so the stats see
+valid data, merely slightly re-weighted on one batch per epoch.
 """
 
 from __future__ import annotations
@@ -18,30 +30,45 @@ from typing import Callable, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..models.metrics import pck_accuracy, calc_mpjpe
+from ..models.metrics import pck_counts, pck_from_counts, per_sample_mpjpe
 from .state import TrainState, clip_grads_by_norm, global_grad_norm
+
+
+def _row_mask(batch):
+    """(B,) 0/1 validity mask, or None when the batch carries none."""
+    return batch.get("row_valid")
+
+
+def _masked_count(mask, batch_size):
+    if mask is None:
+        return jnp.asarray(batch_size, jnp.float32)
+    return jnp.sum(jnp.asarray(mask, jnp.float32))
 
 
 def make_train_step_2d(model, loss_fn) -> Callable:
     """Train step for PoseResNet heatmap regression. [ref: train.py:84-107]
 
     batch: {"image": (B, H, W, 3), "target": (B, h, w, J),
-            "target_weight": (B, J)}
+            "target_weight": (B, J), optional "row_valid": (B,)}
     """
 
     @jax.jit
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        mask = _row_mask(batch)
+
         def loss_of(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["image"], train=True, mutable=["batch_stats"])
-            loss = loss_fn(out, batch["target"], batch["target_weight"])
+            loss = loss_fn(out, batch["target"], batch["target_weight"],
+                           sample_mask=mask)
             return loss, (out, mutated["batch_stats"])
 
         (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
-        acc, _, _ = pck_accuracy(out, batch["target"])
+        hits, cnt, _ = pck_counts(out, batch["target"], row_mask=mask)
+        acc, _ = pck_from_counts(hits, cnt)
         metrics = {"loss": loss, "acc": acc,
                    "grad_norm": global_grad_norm(grads)}
         return new_state, metrics
@@ -50,12 +77,24 @@ def make_train_step_2d(model, loss_fn) -> Callable:
 
 
 def make_eval_step_2d(model, loss_fn) -> Callable:
+    """Eval step: batch-mean loss/acc plus accumulatable sums.
+
+    "loss_sum"/"hits"/"cnt"/"n" sum over an epoch into per-SAMPLE-exact
+    statistics (invariant to TEST.BATCH_SIZE, padding excluded) — the
+    reference's per-batch averaging is kept only in the scalar "loss"/"acc"
+    convenience outputs."""
+
     @jax.jit
     def eval_step(state: TrainState, batch) -> Dict:
+        mask = _row_mask(batch)
         out = model.apply(state.variables, batch["image"], train=False)
-        loss = loss_fn(out, batch["target"], batch["target_weight"])
-        acc, _, _ = pck_accuracy(out, batch["target"])
-        return {"loss": loss, "acc": acc}
+        loss = loss_fn(out, batch["target"], batch["target_weight"],
+                       sample_mask=mask)
+        hits, cnt, _ = pck_counts(out, batch["target"], row_mask=mask)
+        acc, _ = pck_from_counts(hits, cnt)
+        n = _masked_count(mask, batch["image"].shape[0])
+        return {"loss": loss, "acc": acc,
+                "loss_sum": loss * n, "hits": hits, "cnt": cnt, "n": n}
 
     return eval_step
 
@@ -87,6 +126,7 @@ def _cdr_loss(model, loss_fn, params, batch_stats, batch, use_3d,
 
     target_3d = batch["target_3d"]
     w = batch["target_weight"]
+    mask = _row_mask(batch)
 
     if train:
         not_base = (jnp.arange(num_joints) != base_joint)[None, :, None]
@@ -99,15 +139,18 @@ def _cdr_loss(model, loss_fn, params, batch_stats, batch, use_3d,
     else:
         pred_3d_rel, target_3d_rel = pred_3d, target_3d
 
-    loss_2d = (loss_fn(pred_2d[:, 0], batch["target_2d"][:, 0], w)
-               + loss_fn(pred_2d[:, 1], batch["target_2d"][:, 1], w))
+    loss_2d = (loss_fn(pred_2d[:, 0], batch["target_2d"][:, 0], w,
+                       sample_mask=mask)
+               + loss_fn(pred_2d[:, 1], batch["target_2d"][:, 1], w,
+                         sample_mask=mask))
     # Bound the 3D loss inputs at +-1e6 mm (1 km — never binding for real
     # poses): an untrained/degenerate stereo prediction triangulates to
     # astronomically large coordinates whose DLT gradients would overflow;
     # clip keeps the warmup's zero-weighted 3D branch numerically inert
     # without altering the trained regime.
     pred_3d_loss = jnp.clip(pred_3d_rel, -1e6, 1e6)
-    loss_3d = loss_fn(pred_3d_loss * scale_3d, target_3d_rel * scale_3d, w)
+    loss_3d = loss_fn(pred_3d_loss * scale_3d, target_3d_rel * scale_3d, w,
+                      sample_mask=mask)
 
     use_3d = jnp.asarray(use_3d)
     loss = loss_2d + jnp.where(use_3d, loss_3d_weight * loss_3d, 0.0)
@@ -125,7 +168,7 @@ def make_train_step_cdr(model, loss_fn, loss_3d_weight: float = 4.0,
 
     batch: {"image": (B, V, H, W, 3), "proj": (B, V, 3, 4),
             "target_3d": (B, J, 3), "target_2d": (B, V, J, 2),
-            "target_weight": (B, J)}
+            "target_weight": (B, J), optional "row_valid": (B,)}
     use_3d: traced bool — False during warmup epochs.
     """
 
@@ -153,18 +196,34 @@ def make_eval_step_cdr(model, loss_fn, loss_3d_weight: float = 4.0,
                        scale_3d: float = 0.1, base_joint: int = 1,
                        num_joints: int = 19) -> Callable:
     """CDR eval step: loss + on-device 2D/3D MPJPE.
-    [ref: train_cdr.py:153-203]"""
+    [ref: train_cdr.py:153-203]
+
+    Besides the batch-mean "loss"/"mpjpe_2d"/"mpjpe_3d", returns
+    "loss_sum"/"e2_sum"/"e3_sum"/"n" — masked per-sample sums that
+    accumulate into per-FRAME-exact epoch metrics (the reference's
+    per-batch averaging biased the model-selection MPJPE on the padded
+    final batch)."""
 
     @jax.jit
     def eval_step(state: TrainState, batch, use_3d):
+        mask = _row_mask(batch)
         loss, aux = _cdr_loss(model, loss_fn, state.params,
                               state.batch_stats, batch, use_3d,
                               loss_3d_weight, scale_3d, base_joint,
                               num_joints, train=False)
-        err_2d, err_3d = calc_mpjpe(
+        e2_s, e3_s = per_sample_mpjpe(
             aux["pred_2d"], aux["pred_3d"], batch["target_3d"],
             batch["target_2d"][:, 0], batch["target_2d"][:, 1],
             batch["target_weight"])
-        return {"loss": loss, "mpjpe_2d": err_2d, "mpjpe_3d": err_3d}
+        if mask is not None:
+            m = jnp.asarray(mask, jnp.float32)
+            e2_s, e3_s = e2_s * m, e3_s * m
+        n = _masked_count(mask, e2_s.shape[0])
+        e2_sum, e3_sum = jnp.sum(e2_s), jnp.sum(e3_s)
+        denom = jnp.maximum(n, 1.0)
+        return {"loss": loss, "mpjpe_2d": e2_sum / denom,
+                "mpjpe_3d": e3_sum / denom,
+                "loss_sum": loss * n, "e2_sum": e2_sum, "e3_sum": e3_sum,
+                "n": n}
 
     return eval_step

@@ -77,8 +77,10 @@ class TestStereoLoader:
         assert b["target_2d"].shape == (4, 2, 19, 2)
         assert b["target_3d"].shape == (4, 19, 3)
         assert b["target_weight"].shape == (4, 19)
-        assert b["n_valid"] == 4
-        assert batches[1]["n_valid"] == 2             # padded
+        np.testing.assert_array_equal(np.asarray(b["row_valid"]),
+                                      [1, 1, 1, 1])
+        np.testing.assert_array_equal(np.asarray(batches[1]["row_valid"]),
+                                      [1, 1, 0, 0])   # padded
         # normalized images are roughly ImageNet-scaled
         img = np.asarray(b["image"])
         assert -4 < img.min() and img.max() < 4
@@ -153,6 +155,39 @@ class TestMonoLoader:
         loader = Mono2DLoader(cfg, "train", seed=1)
         b = next(iter(loader))
         assert np.isfinite(np.asarray(b["image"])).all()
+
+    def test_device_path_is_default_for_mads(self, mads_root):
+        cfg = make_cfg(mads_root, dataset_type="MADS_2d", occl="None")
+        assert Mono2DLoader(cfg, "valid").device_preprocess is True
+
+    @pytest.mark.parametrize("image_set", ["valid", "train"])
+    def test_device_vs_host_preprocess_parity(self, mads_root, image_set):
+        """MADS_2d routed through the jitted device pipeline
+        (preprocess_mono_batch: warp+normalize+render in one program)
+        matches the host-cv2 path on identical per-sample transforms —
+        targets/weights exactly (same joint math), images to warp
+        tolerance (XLA gather vs cv2 INTER_LINEAR)."""
+        cfg = make_cfg(mads_root, dataset_type="MADS_2d", occl="None")
+        l_dev = Mono2DLoader(cfg, image_set, seed=5)
+        l_host = Mono2DLoader(cfg, image_set, seed=5,
+                              device_preprocess=False)
+        n = 0
+        for bd, bh in zip(l_dev, l_host):
+            np.testing.assert_array_equal(np.asarray(bd["row_valid"]),
+                                          np.asarray(bh["row_valid"]))
+            np.testing.assert_allclose(np.asarray(bd["target"]),
+                                       np.asarray(bh["target"]),
+                                       atol=1e-5)
+            np.testing.assert_array_equal(
+                np.asarray(bd["target_weight"]),
+                np.asarray(bh["target_weight"]))
+            di = np.asarray(bd["image"])
+            hi = np.asarray(bh["image"])
+            # 1 uint8 LSB in normalized units ~ 1/(255*0.225) = 0.0174
+            assert np.abs(di - hi).mean() < 0.01
+            assert np.abs(di - hi).max() < 0.15
+            n += 1
+        assert n == len(l_dev)
 
     def test_load_data_dispatch(self, mads_root):
         cfg3 = make_cfg(mads_root)

@@ -87,3 +87,30 @@ class TestOcclusionGating:
         # eval: no gray-128 cutout patches, weights untouched
         np.testing.assert_array_equal(np.asarray(out["target_weight"]),
                                       np.ones((B, 19)))
+
+    def test_return_masks(self):
+        """return_masks exposes the per-view keep-masks for the inspection
+        view [ref: tools/visualize.py:35-63]; hidden pixels are gray-128
+        in the occluded image wherever the mask says hidden."""
+        key = jax.random.PRNGKey(1)
+        B, H0, W0 = 4, 64, 80
+        img = jnp.asarray(rng.randint(0, 255, (B, H0, W0, 3)), jnp.uint8)
+        trans = jnp.broadcast_to(
+            jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]]), (B, 2, 3))
+        P = jnp.broadcast_to(jnp.eye(4), (B, 4, 4)).astype(jnp.float32)
+        pose = jnp.asarray(rng.randn(B, 19, 3), jnp.float32)
+        vis = jnp.ones((B, 19), jnp.float32)
+        out = preprocess_stereo_batch(
+            key, img, img, trans, P, P, pose, vis, image_size=(64, 64),
+            occlusion="CUTOUT", train=True, occl_prob=1.0,
+            return_masks=True)
+        masks = np.asarray(out["keep_mask"])
+        assert masks.shape == (B, 2, 64, 64) and masks.dtype == bool
+        assert (~masks).any(), "p=1.0 gating must occlude something"
+        # un-normalize and check hidden pixels are the cutout gray
+        from fast3dhpe_tpu.ops.warp import IMAGENET_MEAN, IMAGENET_STD
+        imgs = np.asarray(out["image"])                   # (B, 2, H, W, 3)
+        raw = (imgs * np.asarray(IMAGENET_STD)
+               + np.asarray(IMAGENET_MEAN)) * 255.0
+        hidden = ~masks
+        np.testing.assert_allclose(raw[hidden], 128.0, atol=0.6)

@@ -80,6 +80,20 @@ class TestCamera:
         np.testing.assert_allclose(np.asarray(rodrigues(np.zeros(3))),
                                    np.eye(3), atol=1e-6)
 
+    def test_rodrigues_batched(self):
+        """(..., 3) -> (..., 3, 3), each leading element independent
+        (round-1 advisor: the old impl silently used only rvec[0])."""
+        scipy = pytest.importorskip("scipy.spatial.transform")
+        rvecs = np.stack([random_camera(s)[3] for s in range(6)])
+        rvecs = rvecs.reshape(2, 3, 3)
+        R = np.asarray(rodrigues(rvecs))
+        assert R.shape == (2, 3, 3, 3)
+        for i in range(2):
+            for j in range(3):
+                expected = scipy.Rotation.from_rotvec(
+                    rvecs[i, j]).as_matrix()
+                np.testing.assert_allclose(R[i, j], expected, atol=1e-5)
+
     def test_batched_project_points(self):
         K, R, T, _ = random_camera(4)
         P = np.asarray(get_projection_matrix(K, R, T))[:3]
@@ -132,27 +146,52 @@ class TestTriangulation:
 
     def test_sii_matches_fp64_oracle(self):
         """Implementation parity of SII vs an fp64 numpy oracle of the same
-        algorithm (deterministic ones init, row-normalized A, shift 1e-3).
-        [ref models/cdrnet.py:181-222 — dead code in the reference]"""
-        P1, P2, X, uv1, uv2 = two_view_setup(4)
-        proj = np.stack([P1[:3], P2[:3]])[None].repeat(X.shape[0], 0)
-        pts = np.stack([uv1, uv2], axis=1)
+        algorithm (deterministic ones init, column-equilibrated AtA,
+        relative shift 1e-6 [ref models/cdrnet.py:181-222, dead code
+        there — its raw-AtA fp32 formulation NaNs, see the docstring]),
+        plus accuracy against the Jacobi-SVD DLT and ground truth."""
+        for seed in (4, 5, 6):
+            P1, P2, X, uv1, uv2 = two_view_setup(seed)
+            proj = np.stack([P1[:3], P2[:3]])[None].repeat(X.shape[0], 0)
+            pts = np.stack([uv1, uv2], axis=1)
 
-        A = proj[:, :, 2:3, :] * pts[..., None] - proj[:, :, :2, :]
-        A = A.reshape(A.shape[0], -1, 4).astype(np.float64)
-        A = A / np.linalg.norm(A, axis=-1, keepdims=True)
-        AtA = np.einsum("bki,bkj->bij", A, A)
-        B = AtA + 0.001 * np.eye(4)
-        b = np.ones((A.shape[0], 4))
-        b /= np.linalg.norm(b, axis=-1, keepdims=True)
-        for _ in range(2):
-            b = np.linalg.solve(B, b[..., None])[..., 0]
+            A = proj[:, :, 2:3, :] * pts[..., None] - proj[:, :, :2, :]
+            A = A.reshape(A.shape[0], -1, 4).astype(np.float64)
+            D = 1.0 / np.maximum(
+                np.linalg.norm(A, axis=-2, keepdims=True), 1e-30)
+            An = A * D
+            M = np.einsum("bki,bkj->bij", An, An)
+            B = M + 4e-6 * np.eye(4)
+            b = np.ones((A.shape[0], 4))
             b /= np.linalg.norm(b, axis=-1, keepdims=True)
-        homo = -b
-        expected = homo[:, :3] / homo[:, 3:]
+            for _ in range(2):
+                b = np.linalg.solve(B, b[..., None])[..., 0]
+                b /= np.linalg.norm(b, axis=-1, keepdims=True)
+            homo = -b * D[:, 0, :]
+            expected = homo[:, :3] / homo[:, 3:]
 
+            s = np.asarray(sii_triangulate(proj, pts, num_iterations=2))
+            np.testing.assert_allclose(s, expected, rtol=1e-3, atol=1e-2)
+
+            # accuracy: agrees with the Jacobi DLT and the true points
+            # (the round-1 row-normalized variant was off by metres here,
+            # and the reference's raw-AtA fp32 formulation NaNs)
+            jac = np.asarray(dlt_triangulate(proj, pts, method="jacobi"))
+            np.testing.assert_allclose(s, jac, rtol=1e-3, atol=0.05)
+            np.testing.assert_allclose(s, X, rtol=1e-3, atol=0.05)
+
+    def test_sii_noisy_detections(self):
+        """Under ~1px detection noise SII stays within a few mm of the
+        Jacobi DLT (different legitimate weighting, not an error)."""
+        r = np.random.RandomState(3)
+        P1, P2, X, uv1, uv2 = two_view_setup(6)
+        proj = np.stack([P1[:3], P2[:3]])[None].repeat(X.shape[0], 0)
+        pts = np.stack([uv1 + r.randn(*uv1.shape),
+                        uv2 + r.randn(*uv2.shape)], axis=1)
+        jac = np.asarray(dlt_triangulate(proj, pts, method="jacobi"))
         s = np.asarray(sii_triangulate(proj, pts, num_iterations=2))
-        np.testing.assert_allclose(s, expected, rtol=1e-3, atol=1e-2)
+        assert np.isfinite(s).all()
+        assert np.abs(s - jac).max() < 5.0
 
     def test_dlt_matches_torch_reference_impl(self):
         """Cross-check against the reference's torch svd DLT formulation."""

@@ -1,0 +1,272 @@
+"""Padded-batch masking, per-sample eval exactness, loop plumbing.
+
+Round-2 fixes: the loaders pad the final batch (static shapes) and emit a
+row_valid mask; these tests pin down that (a) masked losses equal the
+reference's smaller-final-batch semantics exactly, (b) eval metrics are
+invariant to TEST.BATCH_SIZE (padding excluded, per-sample accounting),
+(c) the prefetch thread does not leak when a loop abandons an epoch
+early, (d) the best val metric survives a resume.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fast3dhpe_tpu.models import CDRNet, PoseResNet, make_loss
+from fast3dhpe_tpu.models.metrics import pck_counts, pck_from_counts
+from fast3dhpe_tpu.train.state import TrainState
+from fast3dhpe_tpu.train.steps import (
+    make_train_step_2d, make_eval_step_2d,
+    make_train_step_cdr, make_eval_step_cdr)
+
+rng = np.random.RandomState(7)
+
+
+class TestMaskedLosses:
+    """loss(padded batch, mask) == loss(unpadded subset) — exactly the
+    reference's smaller final torch batch [ref: train.py:84-107]."""
+
+    @pytest.mark.parametrize("loss_type", ["JointsMSE", "JointsMSESmooth",
+                                           "MPJPE"])
+    @pytest.mark.parametrize("use_tw", [True, False])
+    def test_masked_equals_subset(self, loss_type, use_tw):
+        loss_fn = make_loss(loss_type, use_tw)
+        B, J, D = 6, 5, 3
+        pred = rng.randn(B, J, D).astype(np.float32) * 10
+        target = rng.randn(B, J, D).astype(np.float32) * 10
+        w = (rng.rand(B, J) > 0.3).astype(np.float32)
+        # garbage in the padded rows must not matter
+        pred_pad = np.concatenate([pred, 1e6 * np.ones((2, J, D), np.float32)])
+        target_pad = np.concatenate([target, np.zeros((2, J, D), np.float32)])
+        w_pad = np.concatenate([w, np.ones((2, J), np.float32)])
+        mask = np.array([1, 1, 1, 1, 1, 1, 0, 0], np.float32)
+
+        full = float(loss_fn(pred, target, w))
+        masked = float(loss_fn(pred_pad, target_pad, w_pad,
+                               sample_mask=mask))
+        assert masked == pytest.approx(full, rel=1e-5), loss_type
+
+    def test_no_mask_is_identity(self):
+        loss_fn = make_loss("JointsMSE", True)
+        pred = rng.randn(4, 3, 8).astype(np.float32)
+        target = rng.randn(4, 3, 8).astype(np.float32)
+        w = np.ones((4, 3), np.float32)
+        a = float(loss_fn(pred, target, w))
+        b = float(loss_fn(pred, target, w,
+                          sample_mask=np.ones(4, np.float32)))
+        assert a == pytest.approx(b, rel=1e-6)
+
+
+class TestMaskedPCK:
+    def test_counts_exclude_padded_rows(self):
+        B, H, W, J = 4, 16, 16, 3
+        out = rng.rand(B, H, W, J).astype(np.float32)
+        tgt = rng.rand(B, H, W, J).astype(np.float32)
+        hits_all, cnt_all, _ = pck_counts(out, tgt)
+        hits_m, cnt_m, _ = pck_counts(
+            out, tgt, row_mask=np.array([1, 1, 0, 0], np.float32))
+        hits_sub, cnt_sub, _ = pck_counts(out[:2], tgt[:2])
+        np.testing.assert_array_equal(np.asarray(hits_m),
+                                      np.asarray(hits_sub))
+        np.testing.assert_array_equal(np.asarray(cnt_m), np.asarray(cnt_sub))
+        assert np.asarray(cnt_all).sum() >= np.asarray(cnt_m).sum()
+
+    def test_accumulated_equals_whole(self):
+        """Sum of per-batch counts == counts of the whole set (the property
+        that makes epoch PCK invariant to batch splits)."""
+        B, H, W, J = 6, 16, 16, 4
+        out = rng.rand(B, H, W, J).astype(np.float32)
+        tgt = rng.rand(B, H, W, J).astype(np.float32)
+        h_all, c_all, _ = pck_counts(out, tgt)
+        h1, c1, _ = pck_counts(out[:4], tgt[:4])
+        h2, c2, _ = pck_counts(out[4:], tgt[4:])
+        np.testing.assert_array_equal(np.asarray(h_all),
+                                      np.asarray(h1) + np.asarray(h2))
+        a_all, _ = pck_from_counts(h_all, c_all)
+        a_acc, _ = pck_from_counts(np.asarray(h1) + np.asarray(h2),
+                                   np.asarray(c1) + np.asarray(c2))
+        assert float(a_all) == pytest.approx(float(a_acc))
+
+
+def _cdr_model_state(batch):
+    model = CDRNet(num_joints=19, num_layers=18)
+    variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                           batch["proj"], train=False)
+    return model, TrainState.create(variables, optax.adam(1e-4))
+
+
+def _cdr_samples(N=6, J=19, H=64):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_train_steps import stereo_proj_batch
+    from fast3dhpe_tpu.geometry import project_points
+    img = rng.randn(N, 2, H, H, 3).astype(np.float32)
+    proj = stereo_proj_batch(N)
+    t3d = (rng.randn(N, J, 3) * 200).astype(np.float32)
+    t2d = np.stack([
+        np.asarray(project_points(t3d, proj[:, 0])),
+        np.asarray(project_points(t3d, proj[:, 1]))], axis=1)
+    w = np.ones((N, J), np.float32)
+    return {"image": img, "proj": proj, "target_3d": t3d,
+            "target_2d": t2d, "target_weight": w}
+
+
+def _slice_pad(samples, lo, hi, B):
+    """Rows [lo:hi] padded to B by repeating the last row, with mask."""
+    n = hi - lo
+    out = {}
+    for k, v in samples.items():
+        rows = v[lo:hi]
+        pad = np.repeat(rows[-1:], B - n, axis=0)
+        out[k] = jnp.asarray(np.concatenate([rows, pad], axis=0))
+    out["row_valid"] = jnp.asarray(
+        np.concatenate([np.ones(n), np.zeros(B - n)]).astype(np.float32))
+    return out
+
+
+class TestEvalBatchSizeInvariance:
+    def test_cdr_eval_invariant_to_batch_split(self):
+        """Accumulated eval sums over padded batches of 4 == one unpadded
+        batch of 6 (VERDICT round-1 weak #1/#8: padding contaminated the
+        model-selection metric)."""
+        samples = _cdr_samples(N=6)
+        whole = {k: jnp.asarray(v) for k, v in samples.items()}
+        model, state = _cdr_model_state(whole)
+        loss_fn = make_loss("JointsMSESmooth", True)
+        ev = make_eval_step_cdr(model, loss_fn)
+
+        m_whole = ev(state, whole, jnp.asarray(True))
+
+        sums = {"loss_sum": 0.0, "e2_sum": 0.0, "e3_sum": 0.0, "n": 0.0}
+        for lo, hi in ((0, 4), (4, 6)):
+            b = _slice_pad(samples, lo, hi, 4)
+            m = ev(state, b, jnp.asarray(True))
+            for k in sums:
+                sums[k] += float(m[k])
+
+        assert sums["n"] == 6.0
+        assert sums["e3_sum"] / 6 == pytest.approx(
+            float(m_whole["e3_sum"]) / 6, rel=1e-4)
+        assert sums["e2_sum"] / 6 == pytest.approx(
+            float(m_whole["e2_sum"]) / 6, rel=1e-4)
+        assert sums["loss_sum"] / 6 == pytest.approx(
+            float(m_whole["loss_sum"]) / 6, rel=1e-4)
+
+    def test_cdr_eval_padding_rows_ignored(self):
+        """Garbage in padded rows must not leak into eval metrics (eval
+        uses running BN stats, so this is exact)."""
+        samples = _cdr_samples(N=3)
+        whole = {k: jnp.asarray(v) for k, v in samples.items()}
+        model, state = _cdr_model_state(whole)
+        loss_fn = make_loss("JointsMSESmooth", True)
+        ev = make_eval_step_cdr(model, loss_fn)
+
+        clean = _slice_pad(samples, 0, 3, 4)
+        garbage = {k: np.asarray(v).copy() for k, v in clean.items()}
+        garbage["image"][3] = 7.7
+        garbage["target_3d"][3] = 1e5
+        garbage = {k: jnp.asarray(v) for k, v in garbage.items()}
+
+        m1 = ev(state, clean, jnp.asarray(True))
+        m2 = ev(state, garbage, jnp.asarray(True))
+        assert float(m1["e3_sum"]) == pytest.approx(float(m2["e3_sum"]),
+                                                    rel=1e-5)
+        assert float(m1["loss_sum"]) == pytest.approx(float(m2["loss_sum"]),
+                                                      rel=1e-5)
+
+
+class TestTrainStepMasking:
+    def test_2d_train_metrics_masked(self):
+        """Train loss/acc on a padded batch equal the unpadded subset when
+        padding duplicates the last row (BN sees the same data re-weighted;
+        loss renormalizes exactly)."""
+        model = PoseResNet(num_joints=4, num_layers=18)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        state = TrainState.create(variables, optax.adam(1e-3))
+        loss_fn = make_loss("JointsMSE", True, layout="NHWC")
+        step = make_train_step_2d(model, loss_fn)
+
+        from fast3dhpe_tpu.ops import render_gaussian_heatmaps
+        img = rng.randn(4, 64, 64, 3).astype(np.float32)
+        joints = rng.uniform(5, 59, size=(4, 4, 2)).astype(np.float32)
+        vis = np.ones((4, 4), np.float32)
+        target, weight = render_gaussian_heatmaps(joints, vis, (16, 16),
+                                                  (64, 64), sigma=1)
+        batch = {"image": jnp.asarray(img), "target": target,
+                 "target_weight": weight,
+                 "row_valid": jnp.asarray([1, 1, 1, 0], jnp.float32)}
+        _, m = step(state, batch)
+        # same batch, all rows valid -> different (larger denominator)
+        batch_all = dict(batch)
+        batch_all["row_valid"] = jnp.ones(4, jnp.float32)
+        _, m_all = step(state, batch_all)
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["loss"]) != pytest.approx(float(m_all["loss"]),
+                                                 rel=1e-6)
+
+
+class TestPrefetchShutdown:
+    def _thread_count(self):
+        return sum(t.name == "f3d-prefetch" for t in threading.enumerate())
+
+    def test_abandoned_iterator_releases_thread(self):
+        from fast3dhpe_tpu.data.loader import _prefetch
+
+        def slow_gen():
+            for i in range(100):
+                yield np.zeros((4, 8))
+
+        base = self._thread_count()
+        it = _prefetch(slow_gen(), depth=2)
+        next(it)
+        assert self._thread_count() == base + 1
+        it.close()                     # loop breaks early / iterator GC'd
+        for _ in range(100):
+            if self._thread_count() == base:
+                break
+            time.sleep(0.05)
+        assert self._thread_count() == base
+
+    def test_error_propagates(self):
+        from fast3dhpe_tpu.data.loader import _prefetch
+
+        def bad_gen():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = _prefetch(bad_gen(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="boom"):
+            list(it)
+
+
+class TestBestMetricPersistence:
+    def test_roundtrip_and_compat(self, tmp_path):
+        from fast3dhpe_tpu.train.checkpoint import (
+            save_checkpoint, restore_checkpoint_compat)
+        tree = {"params": {"w": jnp.ones((3,))},
+                "step": jnp.asarray(5, jnp.int32),
+                "best_metric": jnp.asarray(12.5, jnp.float32)}
+        p = str(tmp_path / "ck")
+        save_checkpoint(p, tree)
+        r = restore_checkpoint_compat(p, tree,
+                                      optional_keys=("best_metric",))
+        assert float(r["best_metric"]) == 12.5
+
+        # checkpoint written WITHOUT best_metric (round-1 layout) still
+        # restores when the template asks for it optionally
+        old = {"params": {"w": jnp.ones((3,))},
+               "step": jnp.asarray(5, jnp.int32)}
+        p2 = str(tmp_path / "ck_old")
+        save_checkpoint(p2, old)
+        r2 = restore_checkpoint_compat(p2, tree,
+                                       optional_keys=("best_metric",))
+        assert r2 is not None and "best_metric" not in r2
+        assert int(r2["step"]) == 5
