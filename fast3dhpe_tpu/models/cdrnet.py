@@ -137,6 +137,10 @@ class CDRNet(nn.Module):
     # (ops/pallas_softargmax.py) — numerically identical, single-chip
     # only (a bare pallas_call is opaque to the pjit partitioner).
     softargmax: str = "xla"
+    # fuse bandwidth-bound eval-mode encoder Bottlenecks into Pallas
+    # kernels (ops/pallas_bottleneck.py); off by default — enable for
+    # inference serving (bench.py does)
+    fused_inference: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -157,6 +161,7 @@ class CDRNet(nn.Module):
 
         x = imgs.reshape(B * V, H, W, 3)
         z = ResNetEncoder(num_layers=self.num_layers, dtype=self.dtype,
+                          fused_inference=self.fused_inference,
                           name="encoder")(x, train)     # (B*V, h, w, C)
         fh, fw, in_dim = z.shape[1], z.shape[2], z.shape[3]
         zs = z.reshape(B, V, fh, fw, in_dim)

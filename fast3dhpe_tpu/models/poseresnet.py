@@ -21,11 +21,15 @@ class PoseResNet(nn.Module):
     num_joints: int = 19
     num_layers: int = 101
     dtype: Any = jnp.float32
+    # fuse bandwidth-bound eval-mode Bottlenecks into Pallas kernels
+    fused_inference: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         features = ResNetEncoder(num_layers=self.num_layers,
-                                 dtype=self.dtype, name="encoder")(x, train)
+                                 dtype=self.dtype,
+                                 fused_inference=self.fused_inference,
+                                 name="encoder")(x, train)
         heatmaps = PoseDecoder(num_joints=self.num_joints,
                                dtype=self.dtype, name="decoder")(features, train)
         return heatmaps

@@ -57,30 +57,99 @@ class BasicBlock(nn.Module):
         return nn.relu(out + residual)
 
 
+def _bn(dtype):
+    """BatchNorm2d(momentum=0.1 torch, eps=1e-5) with call-time mode."""
+    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype,
+                        param_dtype=jnp.float32)
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1(x4) residual block.
-    [ref: models/encoder.py:38-76]"""
+    [ref: models/encoder.py:38-76]
+
+    With fused_inference=True, eval-mode stride-1 bf16 blocks at
+    bandwidth-bound shapes run as ONE Pallas kernel
+    (ops/pallas_bottleneck.py) that keeps the whole block's activations
+    in VMEM — the small-channel stages are HBM-bound under XLA (each conv
+    round-trips its activations; see docs/PERFORMANCE.md). The parameter
+    tree is identical either way (setup-style names match the round-1
+    compact-style names), so checkpoints are interchangeable.
+    """
     planes: int
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    fused_inference: bool = False
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        residual = x
-        out = conv2d(self.planes, 1, 1, 0, "conv1", self.dtype)(x)
-        out = batch_norm(train, "bn1", self.dtype)(out)
-        out = nn.relu(out)
-        out = conv2d(self.planes, 3, self.stride, 1, "conv2", self.dtype)(out)
-        out = batch_norm(train, "bn2", self.dtype)(out)
-        out = nn.relu(out)
-        out = conv2d(self.planes * BOTTLENECK_EXPANSION, 1, 1, 0,
-                     "conv3", self.dtype)(out)
-        out = batch_norm(train, "bn3", self.dtype)(out)
+    def setup(self):
+        self.conv1 = conv2d(self.planes, 1, 1, 0, None, self.dtype)
+        self.bn1 = _bn(self.dtype)
+        self.conv2 = conv2d(self.planes, 3, self.stride, 1, None, self.dtype)
+        self.bn2 = _bn(self.dtype)
+        self.conv3 = conv2d(self.planes * BOTTLENECK_EXPANSION, 1, 1, 0,
+                            None, self.dtype)
+        self.bn3 = _bn(self.dtype)
         if self.downsample:
-            residual = conv2d(self.planes * BOTTLENECK_EXPANSION, 1,
-                              self.stride, 0, "downsample_conv", self.dtype)(x)
-            residual = batch_norm(train, "downsample_bn", self.dtype)(residual)
+            self.downsample_conv = conv2d(
+                self.planes * BOTTLENECK_EXPANSION, 1, self.stride, 0,
+                None, self.dtype)
+            self.downsample_bn = _bn(self.dtype)
+
+    def _fusable(self, x, train: bool) -> bool:
+        if (not self.fused_inference or train or self.is_initializing()
+                or self.stride != 1 or x.dtype != jnp.bfloat16):
+            return False
+        B, H, W, Cin = x.shape
+        P = self.planes
+        cout = P * BOTTLENECK_EXPANSION
+        # per-cell VMEM (bf16): in/out double-buffered + patches + hidden
+        vmem = 2 * H * W * (2 * Cin + 2 * cout + 9 * P + P)
+        # only worthwhile where XLA is bandwidth-bound (large plane,
+        # narrow channels); stage3/4 already run near peak natively
+        return vmem < 13 * 2 ** 20 and H * W >= 1024
+
+    def _fused(self, x):
+        import jax
+        from ..ops.pallas_bottleneck import fused_bottleneck, fold_bn
+        p = self.variables["params"]
+        st = self.variables["batch_stats"]
+
+        def bn_fold(name):
+            return fold_bn(p[name]["scale"], p[name]["bias"],
+                           st[name]["mean"], st[name]["var"])
+
+        s1, b1 = bn_fold("bn1")
+        s2, b2 = bn_fold("bn2")
+        s3, b3 = bn_fold("bn3")
+        w1 = p["conv1"]["kernel"][0, 0]              # (Cin, P)
+        w2 = p["conv2"]["kernel"]                    # (3, 3, P, P)
+        w3 = p["conv3"]["kernel"][0, 0]              # (P, 4P)
+        if self.downsample:
+            wd = p["downsample_conv"]["kernel"][0, 0]
+            sd, bd = bn_fold("downsample_bn")
+        else:
+            wd = sd = bd = None
+        return fused_bottleneck(
+            x, w1, s1, b1, w2, s2, b2, w3, s3, b3, wd, sd, bd,
+            samples_per_cell=1,
+            interpret=jax.default_backend() != "tpu")
+
+    def __call__(self, x, train: bool = False):
+        if self._fusable(x, train):
+            return self._fused(x)
+        residual = x
+        out = self.conv1(x)
+        out = self.bn1(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = self.conv2(out)
+        out = self.bn2(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = self.conv3(out)
+        out = self.bn3(out, use_running_average=not train)
+        if self.downsample:
+            residual = self.downsample_conv(x)
+            residual = self.downsample_bn(residual,
+                                          use_running_average=not train)
         return nn.relu(out + residual)
 
 
@@ -92,6 +161,8 @@ class ResNetEncoder(nn.Module):
     """
     num_layers: int = 101
     dtype: Any = jnp.float32
+    # fuse bandwidth-bound eval-mode Bottlenecks into Pallas kernels
+    fused_inference: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -114,8 +185,12 @@ class ResNetEncoder(nn.Module):
                 s = stride if i == 0 else 1
                 downsample = (i == 0 and
                               (s != 1 or inplanes != planes * expansion))
+                kwargs = {}
+                if block_cls is Bottleneck:
+                    kwargs["fused_inference"] = self.fused_inference
                 x = block_cls(planes=planes, stride=s, downsample=downsample,
                               dtype=self.dtype,
-                              name=f"layer{stage}_{i}")(x, train=train)
+                              name=f"layer{stage}_{i}", **kwargs)(x,
+                                                                  train=train)
                 inplanes = planes * expansion
         return x

@@ -144,6 +144,29 @@ class TestConfigs:
 
 
 @pytest.mark.slow
+class TestConvergesToAbsoluteAccuracy:
+    def test_synthetic_rig_mpjpe_bound(self, tmp_path):
+        """Longer converging run asserting an ABSOLUTE 3D accuracy bound
+        on the synthetic rig (round-1 gap: only loss-decrease was ever
+        asserted). Calibration (recorded in BASELINE.md): this exact
+        setup reaches ~2.0-2.2m best val MPJPE by epoch 8 and ~1.87m by
+        epoch 12 (CDRNet-18 at 64px/16px heatmaps is a deliberately tiny
+        proxy; its 3D resolution limit, not the pipeline, sets the
+        floor). The bound (3m, vs ~48,000m untrained) is diagnostic of
+        real 2D->3D convergence through fusion + soft-argmax + DLT."""
+        root = str(tmp_path / "mads")
+        make_synthetic_mads(root, n_frames=8, img_w=256, img_h=192)
+        cfg = tiny_cfg(root, warmup=3, epochs=8, name="acc_bound")
+        h = loop_cdr.run(cfg, overwrite=True,
+                         weights_root=str(tmp_path / "w"), seed=0)
+        best = min(h["val_mpjpe_3d"])
+        assert best < 3000.0, h["val_mpjpe_3d"]
+        # and the first post-warmup epoch must already be out of the
+        # triangulate-at-infinity regime
+        assert h["val_mpjpe_3d"][-1] < 100000.0
+
+
+@pytest.mark.slow
 class TestResume:
     def test_resume_continues_from_checkpoint(self, mads_root, tmp_path):
         """Run 2 epochs, resume, run to 4 — step counter and params carry

@@ -56,3 +56,77 @@ class TestSoftArgmaxFused:
         kp = np.asarray(soft_argmax_fused(jnp.asarray(hm)))
         np.testing.assert_allclose(kp[0, 0], [21, 7], atol=1e-3)
         np.testing.assert_allclose(kp[0, 1], [3, 30], atol=1e-3)
+
+
+class TestFusedBottleneck:
+    """ops/pallas_bottleneck.py — the fused inference Bottleneck kernel
+    (interpret mode on CPU; bit-exact on real TPU, verified separately)."""
+
+    def _mk_bn(self, C, r):
+        from fast3dhpe_tpu.ops.pallas_bottleneck import fold_bn
+        return fold_bn(jnp.asarray(r.rand(C) + 0.5, jnp.float32),
+                       jnp.asarray(r.randn(C) * 0.1, jnp.float32),
+                       jnp.asarray(r.randn(C) * 0.1, jnp.float32),
+                       jnp.asarray(r.rand(C) + 0.5, jnp.float32))
+
+    @pytest.mark.parametrize("ds", [True, False])
+    def test_kernel_matches_xla_reference(self, ds):
+        from fast3dhpe_tpu.ops.pallas_bottleneck import (
+            fused_bottleneck, bottleneck_reference)
+        r = np.random.RandomState(0)
+        P, H, B = 16, 8, 4
+        Cout = 4 * P
+        Cin = 64 if ds else Cout
+        x = jnp.asarray(r.randn(B, H, H, Cin), jnp.float32)
+        w1 = r.randn(Cin, P).astype(np.float32) * 0.1
+        w2 = r.randn(3, 3, P, P).astype(np.float32) * 0.1
+        w3 = r.randn(P, Cout).astype(np.float32) * 0.1
+        s1, b1 = self._mk_bn(P, r)
+        s2, b2 = self._mk_bn(P, r)
+        s3, b3 = self._mk_bn(Cout, r)
+        wd = sd = bd = None
+        if ds:
+            wd = r.randn(Cin, Cout).astype(np.float32) * 0.1
+            sd, bd = self._mk_bn(Cout, r)
+        ref = np.asarray(bottleneck_reference(
+            x, w1, s1, b1, w2, s2, b2, w3, s3, b3, wd, sd, bd))
+        got = np.asarray(fused_bottleneck(
+            x, w1, s1, b1, w2, s2, b2, w3, s3, b3, wd, sd, bd,
+            samples_per_cell=2, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    @pytest.mark.slow
+    def test_encoder_fused_matches_standard(self):
+        """ResNetEncoder(fused_inference=True) == standard path on the
+        same params — exercises the gating, BN folding and the param
+        extraction in models/resnet.Bottleneck._fused. bf16 256px input
+        so stage1 (64x64 plane) and stage2 (32x32) actually fuse."""
+        from fast3dhpe_tpu.models.resnet import ResNetEncoder
+        r = np.random.RandomState(1)
+        x = jnp.asarray(r.randn(2, 256, 256, 3), jnp.float32)
+        enc = ResNetEncoder(num_layers=50, dtype=jnp.bfloat16)
+        enc_f = ResNetEncoder(num_layers=50, dtype=jnp.bfloat16,
+                              fused_inference=True)
+        variables = enc.init(jax.random.PRNGKey(0), x, train=False)
+        a = np.asarray(enc.apply(variables, x, train=False),
+                       np.float32)
+        b = np.asarray(enc_f.apply(variables, x, train=False),
+                       np.float32)
+        # bf16 path: folded-BN rounding differs from sequential BN
+        denom = max(np.abs(a).max(), 1e-3)
+        assert np.abs(a - b).max() / denom < 0.05
+        assert np.abs(a - b).mean() / denom < 0.005
+
+    def test_param_tree_unchanged(self):
+        """setup-style Bottleneck must keep the round-1 param names
+        (checkpoint compatibility)."""
+        from fast3dhpe_tpu.models.resnet import Bottleneck
+        blk = Bottleneck(planes=8, downsample=True)
+        v = blk.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 16)),
+                     train=False)
+        assert set(v["params"].keys()) == {
+            "conv1", "bn1", "conv2", "bn2", "conv3", "bn3",
+            "downsample_conv", "downsample_bn"}
+        assert set(v["batch_stats"].keys()) == {
+            "bn1", "bn2", "bn3", "downsample_bn"}
+        assert v["params"]["conv1"]["kernel"].shape == (1, 1, 16, 8)
