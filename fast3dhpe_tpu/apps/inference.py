@@ -34,9 +34,10 @@ class CDRNetInferencer:
     """Loads weights/<MODEL.NAME>/best{,.pth} and predicts stereo batches."""
 
     def __init__(self, config, weights_root: str = "weights",
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, fused_inference: bool = False):
         self.config = config
-        self.model = CDRNet.from_config(config, dtype=dtype)
+        self.model = CDRNet.from_config(config, dtype=dtype,
+                                        fused_inference=fused_inference)
         weight_path = os.path.join(weights_root, config.MODEL.NAME)
         self.variables = load_variables(weight_path)
 
@@ -141,11 +142,20 @@ def main():
                         default="data/MADS_extract/valid")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--weights_root", type=str, default="weights")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (fp32 params)")
+    parser.add_argument("--fused_inference", action="store_true",
+                        help="run bandwidth-bound encoder blocks as fused "
+                             "Pallas kernels (requires --bf16; see "
+                             "docs/PERFORMANCE.md before enabling)")
     args = parser.parse_args()
 
     logger = setup_logger()
     config = load_config(args.config_path)
-    inferencer = CDRNetInferencer(config, weights_root=args.weights_root)
+    inferencer = CDRNetInferencer(
+        config, weights_root=args.weights_root,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        fused_inference=args.fused_inference)
 
     if args.movement == "all":
         import glob as _glob

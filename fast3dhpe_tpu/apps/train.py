@@ -25,6 +25,9 @@ def main():
     parser.add_argument("--log_every", type=int, default=None,
                         help="log per-step loss/grad-norm/lr + live "
                              "throughput every N steps")
+    parser.add_argument("--trace_dir", type=str, default=None,
+                        help="capture a jax.profiler device trace of a "
+                             "few steady-state steps here")
     args = parser.parse_args()
 
     from ..parallel.distributed import init_distributed
@@ -35,7 +38,8 @@ def main():
                weights_root=args.weights_root, seed=args.seed,
                compute_dtype="bfloat16" if args.bf16 else "float32",
                plot_dir=args.plot_dir, resume=args.resume,
-               log_every=args.log_every)
+               log_every=args.log_every,
+               trace_dir=args.trace_dir)
 
 
 if __name__ == "__main__":

@@ -200,7 +200,8 @@ class CDRNet(nn.Module):
         return kp, pred_3d
 
     @classmethod
-    def from_config(cls, cfg, dtype=jnp.float32):
+    def from_config(cls, cfg, dtype=jnp.float32, fused_inference=False):
         return cls(num_joints=cfg.MODEL.NUM_JOINTS,
                    num_layers=cfg.MODEL.NUM_LAYERS,
-                   dlt_method=cfg.MODEL.EXTRA.DLT_METHOD, dtype=dtype)
+                   dlt_method=cfg.MODEL.EXTRA.DLT_METHOD,
+                   fused_inference=fused_inference, dtype=dtype)

@@ -36,6 +36,7 @@ from .checkpoint import (save_checkpoint, load_torch_checkpoint,
                          merge_encoder_only, restore_checkpoint_compat)
 from ..utils.logging import setup_logger
 from ..utils.profiling import ThroughputMeter
+from ..utils.interrupt import interruptible
 
 
 def _prepare_model_dir(model_path: str, overwrite: bool, logger) -> None:
@@ -88,7 +89,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         weights_root: str = "weights", max_epochs: Optional[int] = None,
         max_steps_per_epoch: Optional[int] = None, seed: int = 0,
         compute_dtype: str = "float32", plot_dir: Optional[str] = None,
-        resume: bool = False, log_every: Optional[int] = None) -> Dict:
+        resume: bool = False, log_every: Optional[int] = None,
+        trace_dir: Optional[str] = None) -> Dict:
     """Train PoseResNet; returns a history dict (losses/accs per epoch).
 
     compute_dtype: "float32" or "bfloat16" (params/BN stats stay fp32).
@@ -99,6 +101,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     [ref SURVEY §5]).
     log_every: if set, log per-step loss/acc/grad-norm/lr + live imgs/s
     every N steps (reference parity: the tqdm pbar [ref: train.py:83-107]).
+    trace_dir: if set, capture a jax.profiler device trace of a few
+    early steady-state steps there (view with xprof/tensorboard).
     """
     logger = setup_logger()
     model_path = os.path.join(weights_root, config.MODEL.NAME)
@@ -149,64 +153,103 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     meter = ThroughputMeter(window=max(50, 2 * (log_every or 1)))
     global_step = start_epoch * steps_per_epoch
 
-    for epoch in range(start_epoch, n_epochs):
-        t0 = time.time()
-        acc_tree, n = None, 0
-        meter.reset()
-        meter.start()
-        for i, batch in enumerate(train_loader):
-            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                break
-            state, m = train_step(state, batch)
-            acc_tree = m if acc_tree is None else _tree_add(acc_tree, m)
-            n += 1
-            global_step += 1
-            meter.step(batch["image"].shape[0])
-            if log_every and (i + 1) % log_every == 0:
-                mm = jax.device_get(m)          # the only mid-epoch sync
-                logger.info(
-                    "  step %d/%d loss %.5f acc %.4f |grad| %.2f "
-                    "lr %.2e  %.1f imgs/s", i + 1, steps_per_epoch,
-                    float(mm["loss"]), float(mm["acc"]),
-                    float(mm["grad_norm"]), float(schedule(global_step)),
-                    meter.samples_per_sec)
-        tr = (jax.device_get(acc_tree) if acc_tree is not None
-              else {"loss": 0.0, "acc": 0.0})
-        tl, ta = float(tr["loss"]) / max(n, 1), float(tr["acc"]) / max(n, 1)
-        train_ips = meter.samples_per_sec
+    trace = {"on": False, "done": trace_dir is None}
 
-        ev_acc = None
-        for i, batch in enumerate(valid_loader):
-            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                break
-            m = eval_step(state, batch)
-            part = {"loss_sum": m["loss_sum"], "hits": m["hits"],
-                    "cnt": m["cnt"], "n": m["n"]}
-            ev_acc = part if ev_acc is None else _tree_add(ev_acc, part)
-        if ev_acc is not None:
-            ev = jax.device_get(ev_acc)
-            vl = float(ev["loss_sum"]) / max(float(ev["n"]), 1.0)
-            va = float(pck_from_counts(ev["hits"], ev["cnt"])[0])
-        else:
-            vl, va = 0.0, 0.0
+    def _maybe_trace(step_i, m):
+        if trace["done"]:
+            return
+        try:
+            if not trace["on"] and step_i == 1:
+                jax.profiler.start_trace(trace_dir)
+                trace["on"] = True
+            elif trace["on"] and step_i >= 4:
+                _finish_trace(m)
+        except Exception as e:           # profiling must never kill a run
+            logger.warning("device trace failed: %s", e)
+            trace["done"] = True
 
-        history["train_loss"].append(tl)
-        history["val_loss"].append(vl)
-        history["train_acc"].append(ta)
-        history["val_acc"].append(va)
-        history["train_imgs_per_sec"].append(train_ips)
-        logger.info("epoch %d/%d  train loss %.5f acc %.4f (%.1f imgs/s) | "
-                    "val loss %.5f acc %.4f  (%.1fs)",
-                    epoch + 1, n_epochs, tl, ta, train_ips, vl, va,
-                    time.time() - t0)
+    def _finish_trace(m):
+        if not trace["on"]:
+            return
+        try:
+            if m is not None:
+                jax.device_get(m["loss"])   # flush before stopping
+            jax.profiler.stop_trace()
+            logger.info("Wrote device trace to %s", trace_dir)
+        except Exception as e:
+            logger.warning("device trace failed: %s", e)
+        trace["on"] = False
+        trace["done"] = True
 
-        if va > best_acc:
-            best_acc = va
-            save_checkpoint(os.path.join(model_path, "best"),
-                            _state_tree(state, best_acc))
-            logger.info("Saved new best (val acc %.4f)", va)
+    try:
+        with interruptible():   # SIGTERM -> KeyboardInterrupt
+            for epoch in range(start_epoch, n_epochs):
+                t0 = time.time()
+                acc_tree, n = None, 0
+                meter.reset()
+                meter.start()
+                for i, batch in enumerate(train_loader):
+                    if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                        break
+                    state, m = train_step(state, batch)
+                    acc_tree = m if acc_tree is None else _tree_add(acc_tree, m)
+                    n += 1
+                    global_step += 1
+                    meter.step(batch["image"].shape[0])
+                    _maybe_trace(i, m)
+                    if log_every and (i + 1) % log_every == 0:
+                        mm = jax.device_get(m)          # the only mid-epoch sync
+                        logger.info(
+                            "  step %d/%d loss %.5f acc %.4f |grad| %.2f "
+                            "lr %.2e  %.1f imgs/s", i + 1, steps_per_epoch,
+                            float(mm["loss"]), float(mm["acc"]),
+                            float(mm["grad_norm"]), float(schedule(global_step)),
+                            meter.samples_per_sec)
+                _finish_trace(m if n else None)
+                tr = (jax.device_get(acc_tree) if acc_tree is not None
+                      else {"loss": 0.0, "acc": 0.0})
+                tl, ta = float(tr["loss"]) / max(n, 1), float(tr["acc"]) / max(n, 1)
+                train_ips = meter.samples_per_sec
+
+                ev_acc = None
+                for i, batch in enumerate(valid_loader):
+                    if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                        break
+                    m = eval_step(state, batch)
+                    part = {"loss_sum": m["loss_sum"], "hits": m["hits"],
+                            "cnt": m["cnt"], "n": m["n"]}
+                    ev_acc = part if ev_acc is None else _tree_add(ev_acc, part)
+                if ev_acc is not None:
+                    ev = jax.device_get(ev_acc)
+                    vl = float(ev["loss_sum"]) / max(float(ev["n"]), 1.0)
+                    va = float(pck_from_counts(ev["hits"], ev["cnt"])[0])
+                else:
+                    vl, va = 0.0, 0.0
+
+                history["train_loss"].append(tl)
+                history["val_loss"].append(vl)
+                history["train_acc"].append(ta)
+                history["val_acc"].append(va)
+                history["train_imgs_per_sec"].append(train_ips)
+                logger.info("epoch %d/%d  train loss %.5f acc %.4f (%.1f imgs/s) | "
+                            "val loss %.5f acc %.4f  (%.1fs)",
+                            epoch + 1, n_epochs, tl, ta, train_ips, vl, va,
+                            time.time() - t0)
+
+                if va > best_acc:
+                    best_acc = va
+                    save_checkpoint(os.path.join(model_path, "best"),
+                                    _state_tree(state, best_acc))
+                    logger.info("Saved new best (val acc %.4f)", va)
+                save_checkpoint(os.path.join(model_path, "latest"),
+                                _state_tree(state, best_acc))
+
+    except KeyboardInterrupt:
+        logger.warning("Interrupted — saving latest checkpoint "
+                       "before exit (resume with --resume)")
         save_checkpoint(os.path.join(model_path, "latest"),
                         _state_tree(state, best_acc))
+        raise
 
     if plot_dir:
         from ..utils import plot_loss

@@ -34,6 +34,7 @@ from .checkpoint import (save_checkpoint, load_torch_checkpoint,
 from .loop2d import _prepare_model_dir, _state_tree, _tree_add, _restore_state
 from ..utils.logging import setup_logger
 from ..utils.profiling import ThroughputMeter
+from ..utils.interrupt import interruptible
 
 SCALE_3D = 0.1      # [ref: train_cdr.py:74]
 BASE_JOINT = 1      # [ref: train_cdr.py:73]
@@ -43,7 +44,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         weights_root: str = "weights", max_epochs: Optional[int] = None,
         max_steps_per_epoch: Optional[int] = None, seed: int = 0,
         compute_dtype: str = "float32", plot_dir: Optional[str] = None,
-        resume: bool = False, log_every: Optional[int] = None) -> Dict:
+        resume: bool = False, log_every: Optional[int] = None,
+        trace_dir: Optional[str] = None) -> Dict:
     """Train CDRNet; returns history (losses + val MPJPE per epoch).
 
     compute_dtype: "float32" or "bfloat16" (params/BN stats stay fp32).
@@ -52,6 +54,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     restored epoch).
     log_every: if set, log per-step loss/grad-norm/lr + live pairs/s every
     N steps (reference parity: the pbar [ref: train_cdr.py:129-141]).
+    trace_dir: if set, capture a jax.profiler device trace of a few
+    early steady-state steps there (view with xprof/tensorboard).
     """
     logger = setup_logger()
     model_path = os.path.join(weights_root, config.MODEL.NAME)
@@ -112,74 +116,114 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     meter = ThroughputMeter(window=max(50, 2 * (log_every or 1)))
     global_step = start_epoch * steps_per_epoch
 
-    for epoch in range(start_epoch, n_epochs):
-        t0 = time.time()
-        use_3d = jnp.asarray(epoch >= warmup)
+    trace = {"on": False, "done": trace_dir is None}
 
-        acc_tree, n = None, 0
-        meter.reset()
-        meter.start()
-        for i, batch in enumerate(train_loader):
-            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                break
-            state, m = train_step(state, batch, use_3d)
-            acc_tree = m if acc_tree is None else _tree_add(acc_tree, m)
-            n += 1
-            global_step += 1
-            meter.step(batch["image"].shape[0])
-            if log_every and (i + 1) % log_every == 0:
-                mm = jax.device_get(m)          # the only mid-epoch sync
-                logger.info(
-                    "  step %d/%d loss %.5f (2d %.5f 3d %.5f) |grad| %.2f "
-                    "lr %.2e  %.1f pairs/s", i + 1, steps_per_epoch,
-                    float(mm["loss"]), float(mm["loss_2d"]),
-                    float(mm["loss_3d"]), float(mm["grad_norm"]),
-                    float(schedule(global_step)), meter.samples_per_sec)
-        tr = (jax.device_get(acc_tree) if acc_tree is not None
-              else {"loss": 0.0, "grad_norm": 0.0})
-        tl = float(tr["loss"]) / max(n, 1)
-        gn = float(tr["grad_norm"]) / max(n, 1)
-        train_pps = meter.samples_per_sec
+    def _maybe_trace(step_i, m):
+        if trace["done"]:
+            return
+        try:
+            if not trace["on"] and step_i == 1:
+                jax.profiler.start_trace(trace_dir)
+                trace["on"] = True
+            elif trace["on"] and step_i >= 4:
+                _finish_trace(m)
+        except Exception as e:           # profiling must never kill a run
+            logger.warning("device trace failed: %s", e)
+            trace["done"] = True
 
-        ev_acc = None
-        for i, batch in enumerate(valid_loader):
-            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                break
-            m = eval_step(state, batch, use_3d)
-            part = {"loss_sum": m["loss_sum"], "e2_sum": m["e2_sum"],
-                    "e3_sum": m["e3_sum"], "n": m["n"]}
-            ev_acc = part if ev_acc is None else _tree_add(ev_acc, part)
-        if ev_acc is not None:
-            ev = jax.device_get(ev_acc)
-            nv = max(float(ev["n"]), 1.0)
-            vl = float(ev["loss_sum"]) / nv
-            e2 = float(ev["e2_sum"]) / nv
-            e3 = float(ev["e3_sum"]) / nv
-        else:
-            vl, e2, e3 = 0.0, 0.0, 0.0
+    def _finish_trace(m):
+        if not trace["on"]:
+            return
+        try:
+            if m is not None:
+                jax.device_get(m["loss"])   # flush before stopping
+            jax.profiler.stop_trace()
+            logger.info("Wrote device trace to %s", trace_dir)
+        except Exception as e:
+            logger.warning("device trace failed: %s", e)
+        trace["on"] = False
+        trace["done"] = True
 
-        history["train_loss"].append(tl)
-        history["val_loss"].append(vl)
-        history["val_mpjpe_2d"].append(e2)
-        history["val_mpjpe_3d"].append(e3)
-        history["grad_norm"].append(gn)
-        history["train_pairs_per_sec"].append(train_pps)
-        logger.info("epoch %d/%d%s  train loss %.5f |grad| %.2f "
-                    "(%.1f pairs/s) | val loss %.5f MPJPE2D %.2fpx "
-                    "MPJPE3D %.2fmm  (%.1fs)",
-                    epoch + 1, n_epochs,
-                    " [warmup]" if epoch < warmup else "",
-                    tl, gn, train_pps, vl, e2, e3, time.time() - t0)
+    try:
+        with interruptible():   # SIGTERM -> KeyboardInterrupt
+            for epoch in range(start_epoch, n_epochs):
+                t0 = time.time()
+                use_3d = jnp.asarray(epoch >= warmup)
 
-        # best only post-warmup [ref: train_cdr.py:223-228]
-        if e3 < best_err and epoch > warmup:
-            best_err = e3
-            save_checkpoint(os.path.join(model_path, "best"),
-                            _state_tree(state, best_err))
-            logger.info("Saved new best (val 3D MPJPE %.2fmm)", e3)
+                acc_tree, n = None, 0
+                meter.reset()
+                meter.start()
+                for i, batch in enumerate(train_loader):
+                    if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                        break
+                    state, m = train_step(state, batch, use_3d)
+                    acc_tree = m if acc_tree is None else _tree_add(acc_tree, m)
+                    n += 1
+                    global_step += 1
+                    meter.step(batch["image"].shape[0])
+                    _maybe_trace(i, m)
+                    if log_every and (i + 1) % log_every == 0:
+                        mm = jax.device_get(m)          # the only mid-epoch sync
+                        logger.info(
+                            "  step %d/%d loss %.5f (2d %.5f 3d %.5f) |grad| %.2f "
+                            "lr %.2e  %.1f pairs/s", i + 1, steps_per_epoch,
+                            float(mm["loss"]), float(mm["loss_2d"]),
+                            float(mm["loss_3d"]), float(mm["grad_norm"]),
+                            float(schedule(global_step)), meter.samples_per_sec)
+                _finish_trace(m if n else None)
+                tr = (jax.device_get(acc_tree) if acc_tree is not None
+                      else {"loss": 0.0, "grad_norm": 0.0})
+                tl = float(tr["loss"]) / max(n, 1)
+                gn = float(tr["grad_norm"]) / max(n, 1)
+                train_pps = meter.samples_per_sec
+
+                ev_acc = None
+                for i, batch in enumerate(valid_loader):
+                    if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                        break
+                    m = eval_step(state, batch, use_3d)
+                    part = {"loss_sum": m["loss_sum"], "e2_sum": m["e2_sum"],
+                            "e3_sum": m["e3_sum"], "n": m["n"]}
+                    ev_acc = part if ev_acc is None else _tree_add(ev_acc, part)
+                if ev_acc is not None:
+                    ev = jax.device_get(ev_acc)
+                    nv = max(float(ev["n"]), 1.0)
+                    vl = float(ev["loss_sum"]) / nv
+                    e2 = float(ev["e2_sum"]) / nv
+                    e3 = float(ev["e3_sum"]) / nv
+                else:
+                    vl, e2, e3 = 0.0, 0.0, 0.0
+
+                history["train_loss"].append(tl)
+                history["val_loss"].append(vl)
+                history["val_mpjpe_2d"].append(e2)
+                history["val_mpjpe_3d"].append(e3)
+                history["grad_norm"].append(gn)
+                history["train_pairs_per_sec"].append(train_pps)
+                logger.info("epoch %d/%d%s  train loss %.5f |grad| %.2f "
+                            "(%.1f pairs/s) | val loss %.5f MPJPE2D %.2fpx "
+                            "MPJPE3D %.2fmm  (%.1fs)",
+                            epoch + 1, n_epochs,
+                            " [warmup]" if epoch < warmup else "",
+                            tl, gn, train_pps, vl, e2, e3, time.time() - t0)
+
+                # best only post-warmup [ref: train_cdr.py:223-228]
+                if e3 < best_err and epoch > warmup:
+                    best_err = e3
+                    save_checkpoint(os.path.join(model_path, "best"),
+                                    _state_tree(state, best_err))
+                    logger.info("Saved new best (val 3D MPJPE %.2fmm)", e3)
+                save_checkpoint(os.path.join(model_path, "latest"),
+                                _state_tree(state, best_err if best_err != float(
+                                    "inf") else 0.0))
+
+    except KeyboardInterrupt:
+        logger.warning("Interrupted — saving latest checkpoint "
+                       "before exit (resume with --resume)")
         save_checkpoint(os.path.join(model_path, "latest"),
-                        _state_tree(state, best_err if best_err != float(
-                            "inf") else 0.0))
+                        _state_tree(state, best_err if best_err
+                                    != float("inf") else 0.0))
+        raise
 
     if plot_dir:
         from ..utils import plot_loss

