@@ -247,3 +247,54 @@ class TestMultiView:
         assert kp.shape == (B, 3, 19, 2)
         assert p3d.shape == (B, 19, 3)
         assert np.isfinite(np.asarray(p3d)).all()
+
+
+class TestAllDepths:
+    """Every spec'd ResNet depth builds and produces the right feature
+    shape — including 34 and 152, untested until round 2. (The
+    reference's 18/34 are DEAD code: its BasicBlock strides both convs
+    and crashes [ref: models/encoder.py:13-14]; ours are the canonical
+    blocks and work.)"""
+
+    @pytest.mark.parametrize("depth,cout", [(18, 512), (34, 512),
+                                            (50, 2048), (152, 2048)])
+    def test_encoder_output_shape(self, depth, cout):
+        from fast3dhpe_tpu.models.resnet import ResNetEncoder
+        enc = ResNetEncoder(num_layers=depth)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = enc.init(jax.random.PRNGKey(0), x, train=False)
+        out = enc.apply(variables, x, train=False)
+        assert out.shape == (1, 2, 2, cout)
+
+    def test_resnet34_trains(self):
+        """Depth 34 runs a full train step with finite, non-zero
+        gradients and updated params (the reference's 34 CRASHES — its
+        BasicBlock strides both convs; convergence-speed assertions are
+        covered at depth 18 where fitting is fast)."""
+        import optax
+        from fast3dhpe_tpu.models import PoseResNet, make_loss
+        from fast3dhpe_tpu.train.state import TrainState
+        from fast3dhpe_tpu.train.steps import make_train_step_2d
+        from fast3dhpe_tpu.ops import render_gaussian_heatmaps
+        r = np.random.RandomState(0)
+        img = r.randn(4, 64, 64, 3).astype(np.float32)
+        joints = r.uniform(5, 59, size=(4, 4, 2)).astype(np.float32)
+        tgt, w = render_gaussian_heatmaps(joints, np.ones((4, 4), np.float32),
+                                          (16, 16), (64, 64), 1)
+        batch = {"image": jnp.asarray(img), "target": tgt,
+                 "target_weight": w}
+        model = PoseResNet(num_joints=4, num_layers=34)
+        variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                               train=False)
+        state = TrainState.create(variables, optax.adam(1e-3))
+        step = make_train_step_2d(model, make_loss("JointsMSE", True,
+                                                   layout="NHWC"))
+        before = np.asarray(
+            state.params["encoder"]["layer3_0"]["conv1"]["kernel"]).copy()
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["grad_norm"]) > 0 and np.isfinite(
+            float(m["grad_norm"]))
+        after = np.asarray(
+            state.params["encoder"]["layer3_0"]["conv1"]["kernel"])
+        assert not np.allclose(before, after)
