@@ -166,6 +166,8 @@ def bench_training_loop(B=32, dtype="bfloat16"):
 
 def main():
     import sys
+    from fast3dhpe_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()   # warm runs skip the remote XLA compile
     backend = jax.default_backend()
     print(f"# backend: {backend}, devices: {jax.devices()}")
     if "--train" in sys.argv:

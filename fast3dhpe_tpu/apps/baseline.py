@@ -103,6 +103,8 @@ class BaselineEstimator:
 
 
 def main():
+    from ..utils.runtime import enable_compilation_cache
+    enable_compilation_cache()   # warm runs skip the remote XLA compile
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", type=str,
                         default="configs/mads_2d.yaml")

@@ -130,6 +130,8 @@ class CDRNetInferencer:
 
 
 def main():
+    from ..utils.runtime import enable_compilation_cache
+    enable_compilation_cache()   # warm runs skip the remote XLA compile
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", type=str,
                         default="configs/mads_3d.yaml")

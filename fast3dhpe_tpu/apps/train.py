@@ -31,7 +31,9 @@ def main():
     args = parser.parse_args()
 
     from ..parallel.distributed import init_distributed
+    from ..utils.runtime import enable_compilation_cache
     init_distributed()   # no-op unless JAX_COORDINATOR_ADDRESS is set
+    enable_compilation_cache()   # warm runs skip the remote XLA compile
 
     config = load_config(args.config_path)
     loop2d.run(config, overwrite=args.overwrite,

@@ -1,0 +1,149 @@
+"""Localize CDRNet-101 train-step time (fwd vs bwd vs optimizer vs BN).
+
+Inference runs at 61% MFU; the train step (fwd+bwd+Adam+BN stats) at
+~39%. This script measures, on the real chip, where the difference
+lives, and whether buffer donation helps. Variants (batch 64 = the
+training batch chosen by the round-2 sweep):
+
+  fwd_eval      eval-mode forward (the inference envelope, ~25 ms)
+  fwd_train     train-mode forward (adds BN batch-stat passes)
+  grads         value_and_grad, no optimizer update
+  full          the production train step (make_train_step_cdr)
+  full_donated  same, with the state buffers donated to XLA
+
+Timing uses host-chained steps (state carried through the loop) with a
+single scalar fetch at the end — the same pattern as bench.py --train,
+so numbers are directly comparable with docs/PERFORMANCE.md.
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from fast3dhpe_tpu.models import CDRNet, make_loss
+from fast3dhpe_tpu.train.state import TrainState
+from fast3dhpe_tpu.train.steps import make_train_step_cdr, _cdr_loss
+
+B = 64
+ITERS = 10
+
+
+def _stereo_projs(batch):
+    K = np.array([[1100.0, 0.0, 128.0],
+                  [0.0, 1100.0, 128.0],
+                  [0.0, 0.0, 1.0]])
+    Ps = []
+    for dx in (-400.0, 400.0):
+        R = np.eye(3)
+        T = np.array([[dx], [0.0], [3000.0]])
+        Ps.append((K @ np.hstack([R, T])).astype(np.float32))
+    return np.broadcast_to(np.stack(Ps), (batch, 2, 3, 4)).astype(np.float32)
+
+
+def main():
+    from fast3dhpe_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    rng = np.random.RandomState(0)
+    model = CDRNet(num_joints=19, num_layers=101, dtype=jnp.bfloat16)
+    batch = {
+        "image": jnp.asarray(rng.randn(B, 2, 256, 256, 3), jnp.float32),
+        "proj": jnp.asarray(_stereo_projs(B)),
+        "target_3d": jnp.asarray(rng.randn(B, 19, 3) * 200, jnp.float32),
+        "target_2d": jnp.asarray(rng.uniform(0, 256, (B, 2, 19, 2)),
+                                 jnp.float32),
+        "target_weight": jnp.ones((B, 19), jnp.float32),
+    }
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch["image"], batch["proj"], train=False)
+    loss_fn = make_loss("JointsMSESmooth", True)
+
+    def timed(name, fn, make_state, chain_state):
+        """fn(state, batch) -> (state, scalar-bearing tree).
+
+        A fresh state per run so donated variants never reuse a
+        consumed buffer (donation invalidates the input state)."""
+        assert chain_state
+        s, out = fn(make_state(), batch)                # compile + warm
+        jax.device_get(jax.tree_util.tree_leaves(out)[0])
+        s = make_state()
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            s, out = fn(s, batch)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0])
+        dt = (time.perf_counter() - t0) / ITERS
+        print(f"{name:14s} {dt*1e3:8.1f} ms/step  {B/dt:7.1f} pairs/s",
+              flush=True)
+        return dt
+
+    # --- forward only, eval vs train mode ---
+    @jax.jit
+    def fwd_eval(state, batch):
+        kp, p3 = model.apply(state.variables, batch["image"], batch["proj"],
+                             train=False)
+        return state, {"s": jnp.sum(p3) + jnp.sum(kp)}
+
+    @jax.jit
+    def fwd_train(state, batch):
+        (kp, p3), mut = model.apply(
+            state.variables, batch["image"], batch["proj"], train=True,
+            mutable=["batch_stats"])
+        state = state.replace(batch_stats=mut["batch_stats"])
+        return state, {"s": jnp.sum(p3) + jnp.sum(kp)}
+
+    # --- grads, no update ---
+    @jax.jit
+    def grads_only(state, batch):
+        def loss_of(params):
+            return _cdr_loss(model, loss_fn, params, state.batch_stats,
+                             batch, True, 4.0, 0.1, 1, 19, train=True)
+        (loss, aux), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        g0 = jax.tree_util.tree_leaves(grads)[0]
+        return state.replace(batch_stats=aux["new_stats"]), \
+            {"s": loss + jnp.sum(g0)}
+
+    full = make_train_step_cdr(model, loss_fn)
+
+    def full_step(state, batch):
+        return full(state, batch, jnp.asarray(True))
+
+    inner = full.__wrapped__ if hasattr(full, "__wrapped__") else None
+
+    state = TrainState.create(variables, optax.adam(1e-4))
+    reuse = lambda: state                    # noqa: E731
+    fresh = lambda: TrainState.create(variables, optax.adam(1e-4))  # noqa: E731
+    timed("fwd_eval", fwd_eval, reuse, True)
+    timed("fwd_train", fwd_train, reuse, True)
+    timed("grads", grads_only, reuse, True)
+    dt_full = timed("full", full_step, reuse, True)
+
+    if inner is not None:
+        donated = jax.jit(inner, donate_argnums=(0,))
+
+        def donated_step(state, batch):
+            return donated(state, batch, jnp.asarray(True))
+
+        # donation consumes each input state; start from fresh ones
+        timed("full_donated", donated_step, fresh, True)
+
+    try:
+        lowered = jax.jit(inner or (lambda s, b, u: full(s, b, u))).lower(
+            state, batch, jnp.asarray(True))
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            fl = c.get("flops", float("nan"))
+            by = c.get("bytes accessed", float("nan"))
+            print(f"cost_analysis: {fl/1e12:.2f} TFLOP, "
+                  f"{by/1e9:.2f} GB accessed "
+                  f"-> {fl/1e12/dt_full:.0f} TFLOP/s, "
+                  f"{by/1e9/dt_full:.0f} GB/s")
+    except Exception as e:
+        print("cost_analysis unavailable:", e)
+
+
+if __name__ == "__main__":
+    main()

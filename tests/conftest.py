@@ -23,6 +23,16 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent compilation cache: the suite's wall time is dominated by local
+# XLA compiles of the big train/eval graphs — cache them across runs.
+# Disable with FAST3DHPE_XLA_CACHE_DIR=0.
+from fast3dhpe_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
+
+if os.environ.get("FAST3DHPE_XLA_CACHE_DIR") is None:
+    os.environ["FAST3DHPE_XLA_CACHE_DIR"] = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+enable_compilation_cache()
+
 REFERENCE_PATH = "/root/reference"
 
 

@@ -68,6 +68,35 @@ class TestVisualize:
         assert os.path.getsize(out) > 0
 
 
+class TestCompilationCache:
+    def test_enable_and_populate(self, tmp_path, monkeypatch):
+        import jax
+        import fast3dhpe_tpu.utils.runtime as rt
+        prev_dir = rt._enabled_dir
+        d = str(tmp_path / "xla")
+        assert rt.enable_compilation_cache(d) == d
+        assert rt.enable_compilation_cache(d) == d     # idempotent
+        # force even trivial compiles into the cache so the test is fast
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        try:
+            float(jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64))))
+            assert os.listdir(d), "cache dir stayed empty"
+        finally:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            if prev_dir is not None:       # restore the suite-wide cache
+                rt._enabled_dir = None
+                rt.enable_compilation_cache(prev_dir)
+
+    def test_env_disable(self, monkeypatch):
+        import fast3dhpe_tpu.utils.runtime as rt
+        monkeypatch.setattr(rt, "_enabled_dir", None)
+        monkeypatch.setenv("FAST3DHPE_XLA_CACHE_DIR", "0")
+        assert rt.enable_compilation_cache() is None
+
+
 class TestInterruptible:
     def test_sigterm_becomes_keyboardinterrupt(self):
         import os
