@@ -1,0 +1,85 @@
+"""AOT model export for serving (jax.export / StableHLO).
+
+The reference deploys by unpickling a torch state dict into Python
+[ref: inference.py:30-35]; serving a TPU fleet wants a compiler-level
+artifact instead: one file that carries the full preprocessing + forward
+graph (ImageNet normalize -> CDRNet -> soft-argmax -> DLT) with the
+weights baked in as constants, loadable into any process (including
+non-Python runtimes that speak StableHLO) without the model code.
+
+  exported = export_cdrnet(model, variables, batch_size=64)
+  save_exported(exported, "cdrnet101.stablehlo")
+  ...
+  serve = load_serving("cdrnet101.stablehlo")
+  pred_2d, pred_3d = serve(img_l, img_r, proj)      # uint8 frames in
+
+Artifacts are cross-platform: export with platforms=("tpu", "cpu") on a
+CPU-only host and run on either backend.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+from .ops.warp import normalize_imagenet
+
+
+def make_serving_fn(model, variables):
+    """(img_l, img_r) uint8/float [0,255] (B,H,W,3) + proj (B,2,3,4) ->
+    (pred_2d (B,2,J,2), pred_3d (B,J,3)). Weights are closed over (they
+    become constants of the exported graph)."""
+
+    def serve(img_l, img_r, proj):
+        imgs = jnp.stack([normalize_imagenet(img_l),
+                          normalize_imagenet(img_r)], axis=1)
+        return model.apply(variables, imgs, proj, train=False)
+
+    return serve
+
+
+def export_cdrnet(model, variables, batch_size: int,
+                  image_size: Tuple[int, int] = (256, 256),
+                  platforms: Optional[Sequence[str]] = None,
+                  n_views: int = 2) -> "jexport.Exported":
+    """Lower + export the serving function at a fixed batch size.
+
+    platforms: e.g. ("tpu",), ("tpu", "cpu"); default = current backend.
+    """
+    H, W = int(image_size[1]), int(image_size[0])
+    serve = make_serving_fn(model, variables)
+    img = jax.ShapeDtypeStruct((batch_size, H, W, 3), jnp.uint8)
+    proj = jax.ShapeDtypeStruct((batch_size, n_views, 3, 4), jnp.float32)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jexport.export(jax.jit(serve), **kwargs)(img, img, proj)
+
+
+def save_exported(exported: "jexport.Exported", path: str) -> int:
+    """Serialize to `path`; returns the artifact size in bytes."""
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_serving(path: str):
+    """Load a serialized artifact; returns `serve(img_l, img_r, proj)`.
+
+    The returned callable executes via jax on whatever attached backend
+    matches one of the artifact's export platforms.
+    """
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+
+    def serve(img_l, img_r, proj):
+        return exported.call(jnp.asarray(img_l, jnp.uint8),
+                             jnp.asarray(img_r, jnp.uint8),
+                             jnp.asarray(proj, jnp.float32))
+
+    serve.exported = exported
+    return serve
