@@ -141,6 +141,9 @@ class CDRNet(nn.Module):
     # kernels (ops/pallas_bottleneck.py); off by default — enable for
     # inference serving (bench.py does)
     fused_inference: bool = False
+    # rematerialize encoder blocks in the backward pass (training
+    # bandwidth lever — see docs/PERFORMANCE.md train-step roofline)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -162,6 +165,7 @@ class CDRNet(nn.Module):
         x = imgs.reshape(B * V, H, W, 3)
         z = ResNetEncoder(num_layers=self.num_layers, dtype=self.dtype,
                           fused_inference=self.fused_inference,
+                          remat=self.remat,
                           name="encoder")(x, train)     # (B*V, h, w, C)
         fh, fw, in_dim = z.shape[1], z.shape[2], z.shape[3]
         zs = z.reshape(B, V, fh, fw, in_dim)

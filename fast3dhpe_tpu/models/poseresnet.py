@@ -23,12 +23,16 @@ class PoseResNet(nn.Module):
     dtype: Any = jnp.float32
     # fuse bandwidth-bound eval-mode Bottlenecks into Pallas kernels
     fused_inference: bool = False
+    # rematerialize encoder blocks in the backward pass (training
+    # bandwidth lever — see docs/PERFORMANCE.md train-step roofline)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         features = ResNetEncoder(num_layers=self.num_layers,
                                  dtype=self.dtype,
                                  fused_inference=self.fused_inference,
+                                 remat=self.remat,
                                  name="encoder")(x, train)
         heatmaps = PoseDecoder(num_joints=self.num_joints,
                                dtype=self.dtype, name="decoder")(features, train)

@@ -163,11 +163,18 @@ class ResNetEncoder(nn.Module):
     dtype: Any = jnp.float32
     # fuse bandwidth-bound eval-mode Bottlenecks into Pallas kernels
     fused_inference: bool = False
+    # rematerialize each residual block in the backward pass instead of
+    # saving its activations — a bandwidth lever for the train step,
+    # which runs at ~97% of the HBM roofline (docs/PERFORMANCE.md)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_name, stage_sizes = RESNET_SPEC[self.num_layers]
         block_cls = BasicBlock if block_name == "basic" else Bottleneck
+        if self.remat:
+            # static_argnums counts (self, x, train) -> train is 2
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         expansion = (BASIC_EXPANSION if block_name == "basic"
                      else BOTTLENECK_EXPANSION)
 
@@ -190,7 +197,6 @@ class ResNetEncoder(nn.Module):
                     kwargs["fused_inference"] = self.fused_inference
                 x = block_cls(planes=planes, stride=s, downsample=downsample,
                               dtype=self.dtype,
-                              name=f"layer{stage}_{i}", **kwargs)(x,
-                                                                  train=train)
+                              name=f"layer{stage}_{i}", **kwargs)(x, train)
                 inplanes = planes * expansion
         return x

@@ -10,13 +10,20 @@ training batch chosen by the round-2 sweep):
   grads         value_and_grad, no optimizer update
   full          the production train step (make_train_step_cdr)
   full_donated  same, with the state buffers donated to XLA
+  full_remat    same, with per-block encoder rematerialization
+                (CDRNet(remat=True)) — the bandwidth lever for a step
+                running at ~97% of the HBM roofline
 
 Timing uses host-chained steps (state carried through the loop) with a
 single scalar fetch at the end — the same pattern as bench.py --train,
 so numbers are directly comparable with docs/PERFORMANCE.md.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -101,9 +108,11 @@ def main():
                              batch, True, 4.0, 0.1, 1, 19, train=True)
         (loss, aux), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)
-        g0 = jax.tree_util.tree_leaves(grads)[0]
+        # consume EVERY grad leaf, or XLA dead-code-eliminates most of
+        # the backward pass and the variant measures nothing
+        gsum = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
         return state.replace(batch_stats=aux["new_stats"]), \
-            {"s": loss + jnp.sum(g0)}
+            {"s": loss + gsum}
 
     full = make_train_step_cdr(model, loss_fn)
 
@@ -114,7 +123,13 @@ def main():
 
     state = TrainState.create(variables, optax.adam(1e-4))
     reuse = lambda: state                    # noqa: E731
-    fresh = lambda: TrainState.create(variables, optax.adam(1e-4))  # noqa: E731
+
+    def fresh():
+        # deep-copy: donated runs must not delete buffers shared with
+        # `variables` / the other variants' state
+        copied = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                        variables)
+        return TrainState.create(copied, optax.adam(1e-4))
     timed("fwd_eval", fwd_eval, reuse, True)
     timed("fwd_train", fwd_train, reuse, True)
     timed("grads", grads_only, reuse, True)
@@ -129,20 +144,35 @@ def main():
         # donation consumes each input state; start from fresh ones
         timed("full_donated", donated_step, fresh, True)
 
-    try:
-        lowered = jax.jit(inner or (lambda s, b, u: full(s, b, u))).lower(
-            state, batch, jnp.asarray(True))
-        cost = lowered.compile().cost_analysis()
-        if cost:
-            c = cost[0] if isinstance(cost, (list, tuple)) else cost
-            fl = c.get("flops", float("nan"))
-            by = c.get("bytes accessed", float("nan"))
-            print(f"cost_analysis: {fl/1e12:.2f} TFLOP, "
-                  f"{by/1e9:.2f} GB accessed "
-                  f"-> {fl/1e12/dt_full:.0f} TFLOP/s, "
-                  f"{by/1e9/dt_full:.0f} GB/s")
-    except Exception as e:
-        print("cost_analysis unavailable:", e)
+    # --- per-block encoder remat (bandwidth lever) ---
+    model_r = CDRNet(num_joints=19, num_layers=101, dtype=jnp.bfloat16,
+                     remat=True)
+    full_r = make_train_step_cdr(model_r, loss_fn)
+
+    def remat_step(state, batch):
+        return full_r(state, batch, jnp.asarray(True))
+
+    dt_remat = timed("full_remat", remat_step, reuse, True)
+
+    def report_cost(name, fn, dt):
+        try:
+            lowered = jax.jit(fn).lower(state, batch, jnp.asarray(True))
+            cost = lowered.compile().cost_analysis()
+            if cost:
+                c = cost[0] if isinstance(cost, (list, tuple)) else cost
+                fl = c.get("flops", float("nan"))
+                by = c.get("bytes accessed", float("nan"))
+                print(f"cost_analysis[{name}]: {fl/1e12:.2f} TFLOP, "
+                      f"{by/1e9:.2f} GB accessed "
+                      f"-> {fl/1e12/dt:.0f} TFLOP/s, "
+                      f"{by/1e9/dt:.0f} GB/s")
+        except Exception as e:
+            print(f"cost_analysis[{name}] unavailable:", e)
+
+    report_cost("full", inner or (lambda s, b, u: full(s, b, u)), dt_full)
+    inner_r = full_r.__wrapped__ if hasattr(full_r, "__wrapped__") else None
+    report_cost("full_remat", inner_r or (lambda s, b, u: full_r(s, b, u)),
+                dt_remat)
 
 
 if __name__ == "__main__":

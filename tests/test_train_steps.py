@@ -142,6 +142,34 @@ class TestTrainCDR:
             rel=1e-4)
         assert np.isfinite(float(m_full["grad_norm"]))
 
+    def test_remat_step_matches_plain(self):
+        """CDRNet(remat=True) (per-block encoder rematerialization — the
+        memory-capacity lever, docs/PERFORMANCE.md anti-finding) must be
+        numerically identical to the plain model: same param tree, same
+        loss, same gradients."""
+        batch = make_cdr_batch()
+        loss_fn = make_loss("JointsMSESmooth", True)
+        models = [CDRNet(num_joints=19, num_layers=18, remat=r)
+                  for r in (False, True)]
+        variables = models[0].init(jax.random.PRNGKey(0), batch["image"],
+                                   batch["proj"], train=False)
+        assert (jax.tree_util.tree_structure(variables) ==
+                jax.tree_util.tree_structure(
+                    models[1].init(jax.random.PRNGKey(0), batch["image"],
+                                   batch["proj"], train=False)))
+        outs = []
+        for m in models:
+            state = TrainState.create(variables, optax.adam(1e-4))
+            s, met = make_train_step_cdr(m, loss_fn)(
+                state, batch, jnp.asarray(True))
+            outs.append((s, met))
+        np.testing.assert_allclose(float(outs[0][1]["loss"]),
+                                   float(outs[1][1]["loss"]), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(outs[0][0].params),
+                        jax.tree_util.tree_leaves(outs[1][0].params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
     def test_eval_step_mpjpe(self):
         model = CDRNet(num_joints=19, num_layers=18)
         batch = make_cdr_batch()
