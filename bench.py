@@ -164,6 +164,21 @@ def bench_training_loop(B=32, dtype="bfloat16"):
     return pps
 
 
+def bench_latency(batch_sizes=(1, 4, 16), iters=50, dtype=jnp.bfloat16):
+    """Serving-latency view: per-step device latency at small batches
+    (the reference's actual use case is frame-by-frame video). Same
+    serializing-scan pattern as the throughput bench; NOTE each scan
+    iteration carries a ~1.3-1.45 ms fixed overhead on this relay
+    (docs/PERFORMANCE.md), so small-batch numbers are upper bounds."""
+    best, best_b, results = bench_cdrnet(batch_sizes=batch_sizes,
+                                         iters=iters, dtype=dtype,
+                                         verbose=False)
+    for B, pps in results.items():
+        print(f"# latency batch {B}: {B / pps * 1e3:.2f} ms/step "
+              f"({pps:.1f} pairs/s)")
+    return results
+
+
 def main():
     import sys
     from fast3dhpe_tpu.utils.runtime import enable_compilation_cache
@@ -174,6 +189,8 @@ def main():
         bench_training()
     if "--train-loop" in sys.argv:
         bench_training_loop()
+    if "--latency" in sys.argv:
+        bench_latency()
     best, best_b, _ = bench_cdrnet()
     print(json.dumps({
         "metric": "stereo_pairs_per_sec",

@@ -138,8 +138,9 @@ class CDRNet(nn.Module):
     # only (a bare pallas_call is opaque to the pjit partitioner).
     softargmax: str = "xla"
     # fuse bandwidth-bound eval-mode encoder Bottlenecks into Pallas
-    # kernels (ops/pallas_bottleneck.py); off by default — enable for
-    # inference serving (bench.py does)
+    # kernels (ops/pallas_bottleneck.py); off by default — XLA's conv
+    # strategy wins at the shapes that matter on v5e (measured,
+    # docs/PERFORMANCE.md); enable-and-measure per chip generation
     fused_inference: bool = False
     # rematerialize encoder blocks in the backward pass (training
     # bandwidth lever — see docs/PERFORMANCE.md train-step roofline)
