@@ -164,6 +164,55 @@ def bench_training_loop(B=32, dtype="bfloat16"):
     return pps
 
 
+def bench_infer_loop(B=32, n_frames=256, dtype=jnp.bfloat16, epochs=3):
+    """End-to-end serving-eval throughput: the REAL streaming pipeline
+    (batch JPEG decode -> prefetch -> raw-frame transfer -> on-device
+    affine crop + normalize + CDRNet-101 forward + MPJPE) on a synthetic
+    MADS tree — the loop-level counterpart of the batch-64 step number,
+    like --train-loop is for training."""
+    import tempfile
+    from fast3dhpe_tpu.config import config_from_dict
+    from fast3dhpe_tpu.data.synthetic import make_synthetic_mads
+    from fast3dhpe_tpu.data.stream import LoadMADSData
+    from fast3dhpe_tpu.apps.inference import CDRNetInferencer
+
+    tmp = tempfile.mkdtemp(prefix="benchinfer_")
+    root = f"{tmp}/data"
+    make_synthetic_mads(root, n_frames=n_frames, img_w=256, img_h=192,
+                        splits=("valid",))
+    cfg = config_from_dict({
+        "DATASET": {"TYPE": "MADS_3d", "ROOT": root, "TRAIN_SET": "train",
+                    "TEST_SET": "valid"},
+        "MODEL": {"NUM_JOINTS": 19, "NUM_LAYERS": 101, "NAME": "benchinfer",
+                  "PRETRAINED": "", "IMAGE_SIZE": [256, 256],
+                  "EXTRA": {"TARGET_TYPE": "gaussian", "SIGMA": 3,
+                            "HEATMAP_SIZE": [64, 64]}},
+        "TRAIN": {"BATCH_SIZE": B, "EPOCH": 1, "LR": 1e-4, "LR_STEP": [40],
+                  "LR_FACTOR": 0.1},
+        "TEST": {"BATCH_SIZE": B},
+        "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSESmooth"},
+    })
+    from fast3dhpe_tpu.models import CDRNet
+    model = CDRNet.from_config(cfg, dtype=dtype)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(2, 2, 256, 256, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), imgs, jnp.asarray(_stereo_projs(2)),
+        train=False)
+    inf = CDRNetInferencer(cfg, dtype=dtype, variables=variables)
+    stream = LoadMADSData(f"{root}/valid", cfg.MODEL.IMAGE_SIZE, "HipHop")
+    pps = 0.0
+    for ep in range(epochs):      # first pays compile + cold page cache
+        t0 = time.perf_counter()
+        inf.evaluate_movement(stream, batch_size=B)
+        dt = time.perf_counter() - t0
+        pps = len(stream) / dt
+        print(f"# infer loop epoch {ep}: {pps:.1f} pairs/s "
+              f"({len(stream)} frames in {dt:.2f}s)")
+    print(f"# inference loop (batch {B}, full pipeline): {pps:.1f} pairs/s")
+    return pps
+
+
 def bench_latency(batch_sizes=(1, 4, 16), iters=50, dtype=jnp.bfloat16):
     """Serving-latency view: per-step device latency at small batches
     (the reference's actual use case is frame-by-frame video). Same
@@ -189,6 +238,8 @@ def main():
         bench_training()
     if "--train-loop" in sys.argv:
         bench_training_loop()
+    if "--infer-loop" in sys.argv:
+        bench_infer_loop()
     if "--latency" in sys.argv:
         bench_latency()
     best, best_b, _ = bench_cdrnet()

@@ -52,9 +52,16 @@ class BaselineEstimator:
         hm_size = config.MODEL.EXTRA.HEATMAP_SIZE[0]
         scale = img_size / hm_size                       # x4 upscale
 
+        image_size = tuple(config.MODEL.IMAGE_SIZE)
+
         @jax.jit
-        def _predict(variables, img_l, img_r):
+        def _predict(variables, img_l, img_r, trans=None):
             B = img_l.shape[0]
+            if trans is not None:
+                # raw frames: affine crop on device (host only decodes)
+                from ..ops.warp import affine_warp
+                img_l = affine_warp(img_l, trans, image_size)
+                img_r = affine_warp(img_r, trans, image_size)
             x = jnp.concatenate([normalize_imagenet(img_l),
                                  normalize_imagenet(img_r)], axis=0)
             hm = model.apply(variables, x, train=False)
@@ -64,16 +71,40 @@ class BaselineEstimator:
 
         self._predict = _predict
 
-    def predict_batch(self, img_l, img_r, proj):
+        @jax.jit
+        def _predict_eval(variables, img_l, img_r, trans, proj,
+                          pose_3d, vis):
+            # whole per-batch eval as ONE dispatch (unjitted jnp math
+            # costs ~20 ms RPC per op through the axon relay)
+            kp_l, kp_r = _predict(variables, img_l, img_r, trans)
+            B, J = kp_l.shape[0], kp_l.shape[1]
+            kp = jnp.stack([kp_l, kp_r], axis=1)
+            proj_j = jnp.broadcast_to(proj[:, None], (B, J, 2, 3, 4))
+            pred_3d = dlt_triangulate(proj_j, jnp.swapaxes(kp, 1, 2))
+            gt_l = project_points(pose_3d, proj[:, 0])
+            gt_r = project_points(pose_3d, proj[:, 1])
+            return per_sample_mpjpe(kp, pred_3d, pose_3d, gt_l, gt_r, vis)
+
+        self._predict_eval = _predict_eval
+
+    def predict_batch(self, img_l, img_r, proj, trans=None):
         """Returns (pred_2d (B, 2, J, 2), pred_3d (B, J, 3)).
+
+        With trans (B, 2, 3), frames are RAW and cropped on device
+        (stream.batches(device_warp=True)).
 
         Triangulation [ref: baseline.py:84 -> tools/common.py:51-71] is one
         batched DLT over all (B, J) joints: the reference's closed-form M
         equals the DLT system up to a row sign, which leaves the singular
         vectors unchanged.
         """
-        kp_l, kp_r = self._predict(self.variables, jnp.asarray(img_l),
-                                   jnp.asarray(img_r))
+        if trans is not None:
+            kp_l, kp_r = self._predict(self.variables, jnp.asarray(img_l),
+                                       jnp.asarray(img_r),
+                                       jnp.asarray(trans))
+        else:
+            kp_l, kp_r = self._predict(self.variables, jnp.asarray(img_l),
+                                       jnp.asarray(img_r))
         B, J = kp_l.shape[0], kp_l.shape[1]
         kp = jnp.stack([kp_l, kp_r], axis=1)             # (B, 2, J, 2)
         proj = jnp.asarray(proj)                         # (B, 2, 3, 4)
@@ -84,17 +115,20 @@ class BaselineEstimator:
     def evaluate_movement(self, stream: LoadMADSData,
                           batch_size: int = 32) -> Tuple[float, float]:
         tot2, tot3, n = 0.0, 0.0, 0
-        for batch in stream.batches(batch_size):
-            pred_2d, pred_3d = self.predict_batch(
-                batch["img_l"], batch["img_r"], batch["proj"])
+        identity = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+        for batch in stream.batches(batch_size, device_warp=True):
             pose_3d = batch["pose_3d"]
             vis = np.logical_and.reduce(
                 ~np.isnan(pose_3d), axis=2).astype(np.float32)
             pose_3d = np.nan_to_num(pose_3d).astype(np.float32)
-            gt_l = np.asarray(project_points(pose_3d, batch["proj"][:, 0]))
-            gt_r = np.asarray(project_points(pose_3d, batch["proj"][:, 1]))
-            e2, e3 = per_sample_mpjpe(pred_2d, pred_3d, pose_3d,
-                                      gt_l, gt_r, vis)
+            trans = batch.get("trans")
+            if trans is None:     # frames already cropped on host
+                trans = np.broadcast_to(identity, (pose_3d.shape[0], 2, 3))
+            e2, e3 = self._predict_eval(
+                self.variables, jnp.asarray(batch["img_l"]),
+                jnp.asarray(batch["img_r"]), jnp.asarray(trans),
+                jnp.asarray(batch["proj"]), jnp.asarray(pose_3d),
+                jnp.asarray(vis))
             k = batch["n_valid"]
             tot2 += float(np.asarray(e2)[:k].sum())
             tot3 += float(np.asarray(e3)[:k].sum())

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..config import load_config
 from ..models import CDRNet
 from ..models.metrics import per_sample_mpjpe
-from ..ops.warp import normalize_imagenet
+from ..ops.warp import affine_warp, normalize_imagenet
 from ..data.stream import LoadMADSData
 from ..train.checkpoint import load_variables
 from ..utils import plot_pose_2d, plot_pose_3d, save_gif
@@ -34,14 +34,19 @@ class CDRNetInferencer:
     """Loads weights/<MODEL.NAME>/best{,.pth} and predicts stereo batches."""
 
     def __init__(self, config, weights_root: str = "weights",
-                 dtype=jnp.float32, fused_inference: bool = False):
+                 dtype=jnp.float32, fused_inference: bool = False,
+                 variables=None):
         self.config = config
         self.model = CDRNet.from_config(config, dtype=dtype,
                                         fused_inference=fused_inference)
-        weight_path = os.path.join(weights_root, config.MODEL.NAME)
-        self.variables = load_variables(weight_path)
+        if variables is None:
+            weight_path = os.path.join(weights_root, config.MODEL.NAME)
+            variables = load_variables(weight_path)
+        self.variables = variables
 
         model = self.model
+
+        image_size = tuple(config.MODEL.IMAGE_SIZE)
 
         @jax.jit
         def _predict(variables, img_l, img_r, proj):
@@ -49,11 +54,46 @@ class CDRNetInferencer:
                               normalize_imagenet(img_r)], axis=1)
             return model.apply(variables, imgs, proj, train=False)
 
-        self._predict = _predict
+        @jax.jit
+        def _predict_raw(variables, img_l, img_r, trans, proj):
+            # raw full-size frames: affine crop on device (host only
+            # decoded JPEGs — same split as the training pipeline)
+            wl = affine_warp(img_l, trans, image_size)
+            wr = affine_warp(img_r, trans, image_size)
+            imgs = jnp.stack([normalize_imagenet(wl),
+                              normalize_imagenet(wr)], axis=1)
+            return model.apply(variables, imgs, proj, train=False)
 
-    def predict_batch(self, img_l, img_r, proj):
+        @jax.jit
+        def _predict_eval(variables, img_l, img_r, trans, proj,
+                          pose_3d, vis):
+            # the whole per-batch eval — crop, forward, GT projection,
+            # per-sample MPJPE — as ONE dispatch: unjitted jnp eval math
+            # costs ~20 ms RPC PER OP through the axon relay, which made
+            # a first cut of this loop 300x slower than its model step
+            from ..geometry.camera import project_points
+            pred_2d, pred_3d = _predict_raw(variables, img_l, img_r,
+                                            trans, proj)
+            gt_l = project_points(pose_3d, proj[:, 0])
+            gt_r = project_points(pose_3d, proj[:, 1])
+            e2, e3 = per_sample_mpjpe(pred_2d, pred_3d, pose_3d,
+                                      gt_l, gt_r, vis)
+            return e2, e3
+
+        self._predict = _predict
+        self._predict_raw = _predict_raw
+        self._predict_eval = _predict_eval
+
+    def predict_batch(self, img_l, img_r, proj, trans=None):
         """uint8 frames (B, H, W, 3) x2 + proj (B, 2, 3, 4) ->
-        (pred_2d (B, 2, J, 2), pred_3d (B, J, 3))."""
+        (pred_2d (B, 2, J, 2), pred_3d (B, J, 3)).
+
+        With trans (B, 2, 3), frames are RAW (un-cropped) and the affine
+        warp runs on device (stream.batches(device_warp=True))."""
+        if trans is not None:
+            return self._predict_raw(self.variables, jnp.asarray(img_l),
+                                     jnp.asarray(img_r), jnp.asarray(trans),
+                                     jnp.asarray(proj))
         return self._predict(self.variables, jnp.asarray(img_l),
                              jnp.asarray(img_r), jnp.asarray(proj))
 
@@ -62,20 +102,23 @@ class CDRNetInferencer:
         """Sequence-average MPJPE2D (px) / MPJPE3D (mm), averaged per frame
         exactly like the reference loop [ref: inference.py:138-149]."""
         tot2, tot3, n = 0.0, 0.0, 0
-        for batch in stream.batches(batch_size):
-            pred_2d, pred_3d = self.predict_batch(
-                batch["img_l"], batch["img_r"], batch["proj"])
+        identity = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+        for batch in stream.batches(batch_size, device_warp=True):
             pose_3d = batch["pose_3d"]
-            mask = np.isnan(pose_3d)
-            vis = np.logical_and.reduce(~mask, axis=2).astype(np.float32)
+            vis = np.logical_and.reduce(
+                ~np.isnan(pose_3d), axis=2).astype(np.float32)
             pose_3d = np.nan_to_num(pose_3d).astype(np.float32)
-
-            from ..geometry.camera import project_points
-            gt_l = np.asarray(project_points(pose_3d, batch["proj"][:, 0]))
-            gt_r = np.asarray(project_points(pose_3d, batch["proj"][:, 1]))
-
-            e2, e3 = per_sample_mpjpe(pred_2d, pred_3d, pose_3d, gt_l, gt_r,
-                                      vis)
+            # host-warp fallback batches carry no trans: frames are
+            # already cropped, so the device crop is the identity
+            trans = batch.get("trans")
+            if trans is None:
+                trans = np.broadcast_to(
+                    identity, (pose_3d.shape[0], 2, 3))
+            e2, e3 = self._predict_eval(
+                self.variables, jnp.asarray(batch["img_l"]),
+                jnp.asarray(batch["img_r"]), jnp.asarray(trans),
+                jnp.asarray(batch["proj"]), jnp.asarray(pose_3d),
+                jnp.asarray(vis))
             e2, e3 = np.asarray(e2), np.asarray(e3)
             k = batch["n_valid"]
             tot2 += float(e2[:k].sum())
@@ -94,7 +137,7 @@ class CDRNetInferencer:
         stays per-frame on host.
         """
         import cv2
-        from ..geometry.camera import project_points
+        from ..geometry.camera import project_points_np
         frames = []
         for batch in stream.batches(batch_size):
             if len(frames) > max_frames:
@@ -104,14 +147,16 @@ class CDRNetInferencer:
             pred_2d = np.asarray(pred_2d)
             pred_3d = np.asarray(pred_3d)
             P = batch["proj"]
+            poses = np.nan_to_num(batch["pose_3d"]).astype(np.float32)
+            # GT projection in numpy: per-frame jnp here costs ~20 ms RPC
+            # per op on the relay
+            gts_l = project_points_np(poses, P[:, 0])
+            gts_r = project_points_np(poses, P[:, 1])
             for i in range(batch["n_valid"]):
                 if len(frames) > max_frames:
                     break
-                pose_3d = np.nan_to_num(batch["pose_3d"][i])
-                gt_l = np.asarray(project_points(
-                    pose_3d.astype(np.float32), P[i, 0]))
-                gt_r = np.asarray(project_points(
-                    pose_3d.astype(np.float32), P[i, 1]))
+                pose_3d = poses[i]
+                gt_l, gt_r = gts_l[i], gts_r[i]
                 img_l, img_r = batch["img_l"][i], batch["img_r"][i]
 
                 img_2d = plot_pose_2d((gt_l, gt_r),

@@ -5,7 +5,11 @@ size and rewrites the intrinsics K <- [[trans @ K]; [0, 0, 1]] so
 projection matrices built downstream live in cropped-image coordinates.
 
 Unlike the reference (one frame at a time), `batches()` yields
-device-ready stereo batches for high-throughput evaluation.
+device-ready stereo batches for high-throughput evaluation: frames are
+decoded by the shared batch decoder (native C++ when uniform-size),
+prefetched one batch ahead, and with `device_warp=True` the affine crop
+itself moves onto the TPU (the host then only decodes JPEGs — same
+split as the training pipeline).
 """
 
 from __future__ import annotations
@@ -14,13 +18,14 @@ import copy
 import glob
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List
 
 import numpy as np
 
 from ..geometry.affine import (get_affine_transform,
                                update_intrinsics_with_affine)
-from .loader import _imread
+from .loader import _imread, _BatchDecoder, _prefetch
 
 
 class LoadMADSData:
@@ -29,6 +34,8 @@ class LoadMADSData:
     def __init__(self, data_path: str, image_size, movement: str = "HipHop"):
         self.metadata = self._gen_metadata(data_path, movement)
         self.image_size = tuple(image_size)
+        self._pool = ThreadPoolExecutor(max_workers=4)
+        self._decoder = _BatchDecoder(self._pool)
 
     def __len__(self):
         return len(self.metadata)
@@ -75,42 +82,78 @@ class LoadMADSData:
                 affine_warp(img[None], trans, self.image_size)[0]
             ).astype(np.uint8)
 
-    def batches(self, batch_size: int) -> Iterator[Dict]:
-        """Batched streaming: yields dicts of stacked frames + projection
-        matrices + GT — the TPU-friendly eval path."""
-        from ..geometry.camera import get_projection_matrix
+    def _batch_proj(self, metas, transes) -> np.ndarray:
+        """Crop-corrected (B, 2, 3, 4) projection matrices for a batch.
+        [ref: tools/load.py:60-67] K fix composed with each frame's trans.
 
-        n = len(self.metadata)
-        for start in range(0, n, batch_size):
-            metas = [copy.deepcopy(m)
-                     for m in self.metadata[start:start + batch_size]]
-            n_valid = len(metas)
-            while len(metas) < batch_size:
-                metas.append(copy.deepcopy(metas[-1]))
-            frames_l, frames_r, Ps, poses = [], [], [], []
-            for meta in metas:
-                l, r, meta = self._load_frame(meta)
-                frames_l.append(l)
-                frames_r.append(r)
-                P = np.stack([
-                    np.asarray(get_projection_matrix(
-                        meta["cam_left"]["intrinsics"],
-                        meta["cam_left"]["rotation"],
-                        meta["cam_left"]["translation"]))[:3],
-                    np.asarray(get_projection_matrix(
-                        meta["cam_right"]["intrinsics"],
-                        meta["cam_right"]["rotation"],
-                        meta["cam_right"]["translation"]))[:3],
-                ])
-                Ps.append(P)
-                poses.append(np.array(meta["pose_3d"], dtype=np.float64))
-            yield {
-                "img_l": np.stack(frames_l),
-                "img_r": np.stack(frames_r),
-                "proj": np.stack(Ps).astype(np.float32),
-                "pose_3d": np.stack(poses),
-                "n_valid": n_valid,
-            }
+        Pure numpy ON PURPOSE: this is host-side batch assembly, and the
+        jnp geometry.get_projection_matrix would pay ~20 ms RPC per op
+        through the axon relay — 64 per-record calls made a first cut of
+        the streaming eval loop ~300x slower than its model step."""
+        B = len(metas)
+        K = np.empty((B, 2, 3, 3))
+        Rt = np.empty((B, 2, 3, 4))
+        for i, (meta, trans) in enumerate(zip(metas, transes)):
+            for v, cam in enumerate(("cam_left", "cam_right")):
+                K[i, v] = update_intrinsics_with_affine(
+                    np.array(meta[cam]["intrinsics"]), trans)
+                Rt[i, v, :, :3] = np.array(meta[cam]["rotation"])
+                Rt[i, v, :, 3:] = np.array(
+                    meta[cam]["translation"]).reshape(3, 1)
+        return np.einsum("bvij,bvjk->bvik", K, Rt).astype(np.float32)
+
+    def batches(self, batch_size: int,
+                device_warp: bool = False) -> Iterator[Dict]:
+        """Batched streaming: yields dicts of stacked frames + projection
+        matrices + GT — the TPU-friendly eval path. Decoding runs through
+        the shared batch decoder and one batch is prefetched in a
+        background thread.
+
+        device_warp=False: frames are affine-cropped on host (cv2) to
+        image_size — what render paths want. device_warp=True: frames are
+        yielded RAW (requires a uniform-size sequence; falls back to host
+        warp otherwise) plus a "trans" (B, 2, 3) key, and the consumer
+        warps on device (apps.inference does, via ops.warp.affine_warp —
+        parity-tested against cv2). Projections are crop-corrected either
+        way."""
+
+        def gen():
+            n = len(self.metadata)
+            for start in range(0, n, batch_size):
+                metas = [copy.deepcopy(m)
+                         for m in self.metadata[start:start + batch_size]]
+                n_valid = len(metas)
+                while len(metas) < batch_size:
+                    metas.append(copy.deepcopy(metas[-1]))
+                raw_l = self._decoder([m["left_img_path"] for m in metas])
+                raw_r = self._decoder([m["right_img_path"] for m in metas])
+                transes = []
+                for l in raw_l:
+                    h, w = l.shape[:2]
+                    c = np.array([w / 2, h / 2])
+                    transes.append(get_affine_transform(
+                        c, 1, 0, min(h, w), self.image_size))
+                poses = np.stack([np.array(m["pose_3d"], dtype=np.float64)
+                                  for m in metas])
+                batch = {
+                    "proj": self._batch_proj(metas, transes),
+                    "pose_3d": poses,
+                    "n_valid": n_valid,
+                }
+                uniform = (len({i.shape for i in raw_l} |
+                               {i.shape for i in raw_r}) == 1)
+                if device_warp and uniform:
+                    batch["img_l"] = np.stack(raw_l)
+                    batch["img_r"] = np.stack(raw_r)
+                    batch["trans"] = np.stack(transes).astype(np.float32)
+                else:
+                    batch["img_l"] = np.stack([
+                        self._warp(i, t) for i, t in zip(raw_l, transes)])
+                    batch["img_r"] = np.stack([
+                        self._warp(i, t) for i, t in zip(raw_r, transes)])
+                yield batch
+
+        return _prefetch(gen())
 
     @staticmethod
     def _gen_metadata(data_path: str, movement: str) -> List[Dict]:

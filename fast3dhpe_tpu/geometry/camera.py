@@ -52,6 +52,19 @@ def get_projection_matrix(K, R, T):
     return jnp.concatenate([P3, bottom], axis=-2)
 
 
+def project_points_np(points_3d, P):
+    """Pure-numpy twin of project_points, for HOST-side loops (per-frame
+    jnp dispatch costs ~20 ms RPC per op through the axon relay). Same
+    semantics: (..., N, 3) x (..., 3or4, 4) -> (..., N, 2)."""
+    import numpy as np
+    pts = np.asarray(points_3d, np.float32)
+    P3 = np.asarray(P, np.float32)[..., :3, :]
+    h = np.concatenate([pts, np.ones_like(pts[..., :1])], axis=-1)
+    uvw = np.einsum("...ij,...nj->...ni", P3, h)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return uvw[..., :2] / uvw[..., 2:3]
+
+
 def project_3d_to_2d(pose_3d, K, R, T):
     """World 3D -> pixel coords (..., N, 3). [ref: tools/common.py:35-40]"""
     return camera_to_image(world_to_camera(pose_3d, R, T), K)

@@ -257,6 +257,28 @@ class TestStream:
         assert batches[0]["proj"].shape == (4, 2, 3, 4)
         assert batches[1]["n_valid"] == 2
 
+    def test_device_warp_batches_match_host_warp(self, mads_root):
+        """batches(device_warp=True) yields RAW frames + trans such that
+        the on-device affine crop reproduces the host cv2 crop (the
+        serving fast path in apps.inference)."""
+        import os
+        from fast3dhpe_tpu.ops.warp import affine_warp
+        stream = LoadMADSData(os.path.join(mads_root, "valid"),
+                              (256, 256), "HipHop")
+        host = next(stream.batches(4))
+        dev = next(stream.batches(4, device_warp=True))
+        assert "trans" in dev and dev["img_l"].shape[0] == 4
+        # identical crop-corrected projections + GT either way
+        np.testing.assert_allclose(dev["proj"], host["proj"], rtol=1e-6)
+        np.testing.assert_allclose(dev["pose_3d"], host["pose_3d"])
+        warped = np.asarray(affine_warp(dev["img_l"], dev["trans"],
+                                        (256, 256)))
+        # device warp parity vs cv2 INTER_LINEAR (sub-lsb rounding only)
+        assert np.mean(np.abs(warped - host["img_l"].astype(np.float32))) \
+            < 1.0
+        assert np.max(np.abs(warped - host["img_l"].astype(np.float32))) \
+            <= 2.0
+
     def test_stream_projection_roundtrip(self, mads_root):
         """Projecting GT 3D through the crop-corrected P lands on the
         rendered dots in the cropped frames."""
@@ -330,3 +352,37 @@ class TestEmptyDataset:
             build_mads_stereo_index(str(tmp_path), "train")
         with pytest.raises(FileNotFoundError, match="extract_data"):
             build_mads_index(str(tmp_path), "train")
+
+    def test_overwrite_with_bad_dataset_keeps_checkpoint(self, tmp_path):
+        """--overwrite must not clobber an existing weights dir when the
+        dataset path is wrong: the destructive rmtree happens only after
+        load_data succeeds (regression: a typo'd DATASET.ROOT used to
+        delete the checkpoint before failing)."""
+        import os
+        from fast3dhpe_tpu.train import loop_cdr
+        from fast3dhpe_tpu.config import config_from_dict
+        cfg = config_from_dict({
+            "DATASET": {"TYPE": "MADS_3d",
+                        "ROOT": str(tmp_path / "no_such_root"),
+                        "TRAIN_SET": "train", "TEST_SET": "valid"},
+            "MODEL": {"NUM_JOINTS": 19, "NUM_LAYERS": 18, "NAME": "keepme",
+                      "PRETRAINED": "", "IMAGE_SIZE": [64, 64],
+                      "EXTRA": {"TARGET_TYPE": "gaussian", "SIGMA": 1,
+                                "HEATMAP_SIZE": [16, 16]}},
+            "TRAIN": {"BATCH_SIZE": 2, "EPOCH": 1, "LR": 1e-3,
+                      "LR_STEP": [1], "LR_FACTOR": 0.1},
+            "TEST": {"BATCH_SIZE": 2},
+            "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSESmooth"},
+        })
+        weights_root = tmp_path / "weights"
+        model_dir = weights_root / "keepme"
+        model_dir.mkdir(parents=True)
+        (model_dir / "precious.ckpt").write_text("do not delete")
+        with pytest.raises(FileNotFoundError, match="extract_data"):
+            loop_cdr.run(cfg, overwrite=True,
+                         weights_root=str(weights_root))
+        assert (model_dir / "precious.ckpt").exists()
+        # and without --overwrite the existing dir still raises first
+        with pytest.raises(FileExistsError, match="overwrite"):
+            loop_cdr.run(cfg, overwrite=False,
+                         weights_root=str(weights_root))
