@@ -39,15 +39,23 @@ from ..utils.profiling import ThroughputMeter
 from ..utils.interrupt import interruptible
 
 
-def _prepare_model_dir(model_path: str, overwrite: bool, logger) -> None:
+def _prepare_model_dir(model_path: str, overwrite: bool, logger,
+                       check_only: bool = False) -> None:
+    """check_only=True validates the overwrite flag WITHOUT deleting —
+    the loops call that first, defer the destructive rmtree until after
+    load_data succeeds, and so never clobber an existing checkpoint over
+    a typo'd dataset path."""
     if os.path.exists(model_path):
         if not overwrite:
             raise FileExistsError(
                 f"Model dir {model_path} exists; pass overwrite=True "
                 f"(--overwrite) to replace it")
+        if check_only:
+            return
         logger.info("Overwriting existing model dir %s", model_path)
         shutil.rmtree(model_path)
-    os.makedirs(model_path, exist_ok=True)
+    if not check_only:
+        os.makedirs(model_path, exist_ok=True)
 
 
 def _state_tree(state: TrainState, best_metric: float = 0.0) -> Dict:
@@ -107,11 +115,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     logger = setup_logger()
     model_path = os.path.join(weights_root, config.MODEL.NAME)
     if not resume:
-        _prepare_model_dir(model_path, overwrite, logger)
+        _prepare_model_dir(model_path, overwrite, logger, check_only=True)
 
     train_loader, valid_loader = load_data(config, mesh=mesh, seed=seed)
     logger.info("Train samples: %d, valid samples: %d",
                 train_loader.num_samples, valid_loader.num_samples)
+    if not resume:
+        _prepare_model_dir(model_path, overwrite, logger)
 
     model = PoseResNet.from_config(config, dtype=jnp.dtype(compute_dtype))
     sample_shape = (1, config.MODEL.IMAGE_SIZE[1],

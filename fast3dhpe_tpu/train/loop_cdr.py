@@ -60,11 +60,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     logger = setup_logger()
     model_path = os.path.join(weights_root, config.MODEL.NAME)
     if not resume:
-        _prepare_model_dir(model_path, overwrite, logger)
+        _prepare_model_dir(model_path, overwrite, logger, check_only=True)
 
     train_loader, valid_loader = load_data(config, mesh=mesh, seed=seed)
     logger.info("Train samples: %d, valid samples: %d",
                 train_loader.num_samples, valid_loader.num_samples)
+    if not resume:
+        _prepare_model_dir(model_path, overwrite, logger)
 
     model = CDRNet.from_config(config, dtype=jnp.dtype(compute_dtype))
     H, W = config.MODEL.IMAGE_SIZE[1], config.MODEL.IMAGE_SIZE[0]
