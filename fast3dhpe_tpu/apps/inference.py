@@ -196,6 +196,11 @@ def main():
                              "Pallas kernels (requires --bf16; see "
                              "docs/PERFORMANCE.md before enabling)")
     args = parser.parse_args()
+    if args.fused_inference and not args.bf16:
+        parser.error("--fused_inference requires --bf16 (the Pallas "
+                     "kernels only engage on bfloat16 activations; "
+                     "without it every block silently runs the plain "
+                     "XLA path)")
 
     logger = setup_logger()
     config = load_config(args.config_path)

@@ -136,11 +136,20 @@ def _train_scale_rot(rng: np.random.RandomState, sf: float, rf: float):
 
 def _shard_for_host(records):
     """Multi-host: keep this process's slice; return (local_records,
-    global_count)."""
+    global_count, filler_record).
+
+    The filler backs lockstep batches beyond this host's shard —
+    including the case where the shard is EMPTY (more processes than
+    records): such a host must keep dispatching lockstep SPMD steps or
+    the other hosts deadlock in the collectives. The filler is kept
+    OUTSIDE self.records so it can never be counted valid; filler rows
+    always carry row_valid=0."""
     if jax.process_count() > 1:
         from ..parallel.distributed import shard_records_for_host
-        return shard_records_for_host(records), len(records)
-    return records, len(records)
+        local = shard_records_for_host(records)
+        filler = local[0] if local else (records[0] if records else None)
+        return local, len(records), filler
+    return records, len(records), records[0] if records else None
 
 
 def _num_lockstep_batches(global_n: int, batch_size: int) -> int:
@@ -175,7 +184,7 @@ class Stereo3DLoader:
         self.image_set = image_set
         self.train = image_set == cfg.DATASET.TRAIN_SET
         records = build_mads_stereo_index(cfg.DATASET.ROOT, image_set)
-        self.records, self._global_num = _shard_for_host(records)
+        self.records, self._global_num, self._filler = _shard_for_host(records)
         self.batch_size = (cfg.TRAIN.BATCH_SIZE if self.train
                            else cfg.TEST.BATCH_SIZE)
         self.image_size = tuple(cfg.MODEL.IMAGE_SIZE)
@@ -260,7 +269,7 @@ class Stereo3DLoader:
             n_valid = len(idx)
             recs = [self.records[i] for i in idx]
             if not recs:         # lockstep batch beyond this host's shard
-                recs = [self.records[0]]
+                recs = [self._filler]     # row_valid=0: never counted
             while len(recs) < B:                        # pad final batch
                 recs.append(recs[-1])
             yield n_valid, self._host_batch(recs, rng)
@@ -274,16 +283,24 @@ class Stereo3DLoader:
             nonlocal key
             for n_valid, hb in self._epoch_host_batches(rng):
                 key, sub = jax.random.split(key)
+                rv = _row_mask(n_valid, self.batch_size)
+                if self.mesh is not None:
+                    # shard the HOST batch (uint8 frames, 4x lighter than
+                    # normalized float32) BEFORE the device preprocess,
+                    # which then runs SPMD on the sharded arrays — under
+                    # multiple processes the old preprocess-then-shard
+                    # order forced a device->host->device round trip of
+                    # the whole preprocessed batch every step
+                    from ..parallel import shard_batch
+                    hb = shard_batch(self.mesh, hb)
+                    rv = shard_batch(self.mesh, rv)
                 batch = preprocess_stereo_batch(
                     sub, hb["img_l"], hb["img_r"], hb["trans"],
                     hb["P_l"], hb["P_r"], hb["pose_3d"], hb["joints_vis"],
                     image_size=self.image_size,
                     occlusion=(self.occlusion if self.train else None),
                     train=self.train, return_masks=self.return_masks)
-                batch["row_valid"] = _row_mask(n_valid, self.batch_size)
-                if self.mesh is not None:
-                    from ..parallel import shard_batch
-                    batch = shard_batch(self.mesh, batch)
+                batch["row_valid"] = rv
                 yield batch
 
         return _prefetch(gen())
@@ -318,7 +335,7 @@ class Mono2DLoader:
             self.origin_size_fn = lambda img, rec: min(img.shape[:2])
         else:
             raise NotImplementedError(dataset_type)
-        self.records, self._global_num = _shard_for_host(records)
+        self.records, self._global_num, self._filler = _shard_for_host(records)
         self.dataset_type = dataset_type
         # device warp needs fixed-size raw frames -> MADS only by default
         self.device_preprocess = (dataset_type == "MADS_2d"
@@ -411,12 +428,13 @@ class Mono2DLoader:
         for b in range(len(self)):
             idx = list(order[b * B:(b + 1) * B])
             n_valid = len(idx)
-            if not idx:          # lockstep batch beyond this host's shard
-                idx = [0]
-            while len(idx) < B:
-                idx.append(idx[-1])
+            recs = [self.records[i] for i in idx]
+            if not recs:         # lockstep batch beyond this host's shard
+                recs = [self._filler]     # row_valid=0: never counted
+            while len(recs) < B:
+                recs.append(recs[-1])
             augs = []
-            for _ in idx:
+            for _ in recs:
                 if self.train:
                     s_mult, r = _train_scale_rot(rng, self.scale_factor,
                                                  self.rot_factor)
@@ -424,12 +442,10 @@ class Mono2DLoader:
                 else:
                     s_mult, r, do_flip = 1.0, 0.0, False
                 augs.append((s_mult, r, do_flip))
-            imgs_raw = self._decode_paths(
-                [self.records[i]["image"] for i in idx])
+            imgs_raw = self._decode_paths([r["image"] for r in recs])
             samples = list(self._pool.map(
-                lambda ia: self._prepare_sample(
-                    self.records[ia[0]], ia[1], ia[2]),
-                zip(idx, augs, imgs_raw)))
+                lambda ra: self._prepare_sample(ra[0], ra[1], ra[2]),
+                zip(recs, augs, imgs_raw)))
             imgs = np.stack([np.ascontiguousarray(s[0]) for s in samples])
             trans = np.stack([s[1] for s in samples])
             joints = np.stack([s[2] for s in samples]).astype(np.float32)
@@ -445,6 +461,13 @@ class Mono2DLoader:
             from ..ops.heatmap import render_gaussian_heatmaps
             for n_valid, imgs, trans, joints, vis in \
                     self._epoch_host_batches(rng):
+                rv = _row_mask(n_valid, self.batch_size)
+                if self.mesh is not None:
+                    # shard host arrays first; preprocess runs SPMD (see
+                    # the stereo loader for why)
+                    from ..parallel import shard_batch
+                    imgs, trans, joints, vis, rv = shard_batch(
+                        self.mesh, (imgs, trans, joints, vis, rv))
                 if self.device_preprocess:
                     batch = preprocess_mono_batch(
                         imgs, trans, joints, vis,
@@ -459,10 +482,7 @@ class Mono2DLoader:
                         "target": target,
                         "target_weight": weight,
                     }
-                batch["row_valid"] = _row_mask(n_valid, self.batch_size)
-                if self.mesh is not None:
-                    from ..parallel import shard_batch
-                    batch = shard_batch(self.mesh, batch)
+                batch["row_valid"] = rv
                 yield batch
 
         return _prefetch(gen())

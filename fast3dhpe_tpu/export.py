@@ -76,9 +76,22 @@ def load_serving(path: str):
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())
 
+    def _as_frames(x, name):
+        x = jnp.asarray(x)
+        if x.dtype != jnp.uint8:
+            # the artifact's input signature is uint8 (4x cheaper on the
+            # wire than float32); a silent cast here would TRUNCATE float
+            # frames (e.g. [0,1]-scaled input -> all-zero images)
+            raise TypeError(
+                f"{name} must be uint8 [0,255] frames (exported "
+                f"signature), got {x.dtype}; convert explicitly with "
+                f"np.round(img).astype(np.uint8) if your frames are "
+                f"float [0,255]")
+        return x
+
     def serve(img_l, img_r, proj):
-        return exported.call(jnp.asarray(img_l, jnp.uint8),
-                             jnp.asarray(img_r, jnp.uint8),
+        return exported.call(_as_frames(img_l, "img_l"),
+                             _as_frames(img_r, "img_r"),
                              jnp.asarray(proj, jnp.float32))
 
     serve.exported = exported

@@ -171,7 +171,8 @@ class ResNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_name, stage_sizes = RESNET_SPEC[self.num_layers]
-        block_cls = BasicBlock if block_name == "basic" else Bottleneck
+        is_bottleneck = block_name == "bottleneck"
+        block_cls = Bottleneck if is_bottleneck else BasicBlock
         if self.remat:
             # static_argnums counts (self, x, train) -> train is 2
             block_cls = nn.remat(block_cls, static_argnums=(2,))
@@ -193,7 +194,8 @@ class ResNetEncoder(nn.Module):
                 downsample = (i == 0 and
                               (s != 1 or inplanes != planes * expansion))
                 kwargs = {}
-                if block_cls is Bottleneck:
+                if is_bottleneck:   # NOT `block_cls is Bottleneck`:
+                    # nn.remat rebinds block_cls to a wrapper class
                     kwargs["fused_inference"] = self.fused_inference
                 x = block_cls(planes=planes, stride=s, downsample=downsample,
                               dtype=self.dtype,

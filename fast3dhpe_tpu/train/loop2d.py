@@ -35,7 +35,7 @@ from .steps import make_train_step_2d, make_eval_step_2d
 from .checkpoint import (save_checkpoint, load_torch_checkpoint,
                          merge_encoder_only, restore_checkpoint_compat)
 from ..utils.logging import setup_logger
-from ..utils.profiling import ThroughputMeter
+from ..utils.profiling import StepTracer, ThroughputMeter
 from ..utils.interrupt import interruptible
 
 
@@ -162,40 +162,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                "val_acc": [], "train_imgs_per_sec": []}
     meter = ThroughputMeter(window=max(50, 2 * (log_every or 1)))
     global_step = start_epoch * steps_per_epoch
-
-    trace = {"on": False, "done": trace_dir is None}
-
-    def _maybe_trace(step_i, m):
-        if trace["done"]:
-            return
-        try:
-            if not trace["on"] and step_i == 1:
-                jax.profiler.start_trace(trace_dir)
-                trace["on"] = True
-            elif trace["on"] and step_i >= 4:
-                _finish_trace(m)
-        except Exception as e:           # profiling must never kill a run
-            logger.warning("device trace failed: %s", e)
-            trace["done"] = True
-
-    def _finish_trace(m):
-        if not trace["on"]:
-            return
-        try:
-            if m is not None:
-                jax.device_get(m["loss"])   # flush before stopping
-            jax.profiler.stop_trace()
-            logger.info("Wrote device trace to %s", trace_dir)
-        except Exception as e:
-            logger.warning("device trace failed: %s", e)
-        trace["on"] = False
-        trace["done"] = True
+    tracer = StepTracer(trace_dir, logger)
 
     try:
         with interruptible():   # SIGTERM -> KeyboardInterrupt
             for epoch in range(start_epoch, n_epochs):
                 t0 = time.time()
-                acc_tree, n = None, 0
+                acc_tree, n, pending = None, 0, 0
                 meter.reset()
                 meter.start()
                 for i, batch in enumerate(train_loader):
@@ -205,19 +178,26 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                     acc_tree = m if acc_tree is None else _tree_add(acc_tree, m)
                     n += 1
                     global_step += 1
-                    meter.step(batch["image"].shape[0])
-                    _maybe_trace(i, m)
+                    pending += batch["image"].shape[0]
+                    tracer.maybe(i, m)
                     if log_every and (i + 1) % log_every == 0:
                         mm = jax.device_get(m)          # the only mid-epoch sync
+                        # record throughput only across true sync points:
+                        # per-step host timing measures dispatch, not
+                        # compute, on this platform (CLAUDE.md)
+                        meter.step(pending)
+                        pending = 0
                         logger.info(
                             "  step %d/%d loss %.5f acc %.4f |grad| %.2f "
                             "lr %.2e  %.1f imgs/s", i + 1, steps_per_epoch,
                             float(mm["loss"]), float(mm["acc"]),
                             float(mm["grad_norm"]), float(schedule(global_step)),
                             meter.samples_per_sec)
-                _finish_trace(m if n else None)
+                tracer.finish(m if n else None)
                 tr = (jax.device_get(acc_tree) if acc_tree is not None
                       else {"loss": 0.0, "acc": 0.0})
+                if pending:         # the device_get above was a real sync
+                    meter.step(pending)
                 tl, ta = float(tr["loss"]) / max(n, 1), float(tr["acc"]) / max(n, 1)
                 train_ips = meter.samples_per_sec
 

@@ -69,6 +69,47 @@ class ThroughputMeter:
         return 1e3 * sum(self._times) / len(self._times)
 
 
+class StepTracer:
+    """Captures a jax.profiler device trace of steps 1..4 of a loop.
+
+    Shared by both training loops (was copy-pasted in each). Profiling
+    must never kill a run: every jax.profiler call is guarded, and a
+    failure permanently disables the tracer.
+    """
+
+    def __init__(self, trace_dir, logger):
+        self.trace_dir = trace_dir
+        self.logger = logger
+        self.on = False
+        self.done = trace_dir is None
+
+    def maybe(self, step_i, m):
+        if self.done:
+            return
+        try:
+            if not self.on and step_i == 1:
+                jax.profiler.start_trace(self.trace_dir)
+                self.on = True
+            elif self.on and step_i >= 4:
+                self.finish(m)
+        except Exception as e:
+            self.logger.warning("device trace failed: %s", e)
+            self.done = True
+
+    def finish(self, m):
+        if not self.on:
+            return
+        try:
+            if m is not None:
+                jax.device_get(m["loss"])   # flush before stopping
+            jax.profiler.stop_trace()
+            self.logger.info("Wrote device trace to %s", self.trace_dir)
+        except Exception as e:
+            self.logger.warning("device trace failed: %s", e)
+        self.on = False
+        self.done = True
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str):
     """Capture a jax.profiler device trace (view with xprof/tensorboard)."""

@@ -55,7 +55,7 @@ def main():
     })
     hist = loop_cdr.run(cfg, overwrite=True, weights_root=f"{tmp}/weights",
                         compute_dtype="bfloat16")
-    post = hist["val_mpjpe_3d"][args.warmup + 1:]
+    post = hist["val_mpjpe_3d"][args.warmup + 1:] or hist["val_mpjpe_3d"]
     print(f"best val 3D MPJPE (post-warmup): {min(post):.1f} mm "
           f"(final {hist['val_mpjpe_3d'][-1]:.1f} mm); "
           f"best val 2D MPJPE: {min(hist['val_mpjpe_2d']):.2f} px")

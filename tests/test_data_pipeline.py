@@ -228,6 +228,34 @@ class TestMultiHostSharding:
         assert not set(all_paths[0]) & set(all_paths[1])   # disjoint
         assert len(set(all_paths[0]) | set(all_paths[1])) == 6  # covering
 
+    def test_empty_shard_host_emits_filler_batches(self, mads_root,
+                                                   monkeypatch):
+        """A host whose shard is EMPTY (more processes than records) must
+        still emit its lockstep batches — all rows row_valid=0 — instead
+        of crashing (regression: records[0] on an empty shard raised
+        IndexError, which would deadlock the other hosts' collectives)."""
+        cfg = make_cfg(mads_root, batch=4)
+        cfg.DATASET.OCCLUSION = None
+        # 8 processes, 6 valid records -> hosts 6 and 7 get empty shards
+        monkeypatch.setattr(jax, "process_count", lambda: 8)
+        monkeypatch.setattr(jax, "process_index", lambda: 7)
+        loader = Stereo3DLoader(cfg, "valid")
+        assert loader.records == [] and loader._filler is not None
+        batches = list(loader)
+        assert len(batches) == len(loader) >= 1    # lockstep count
+        for b in batches:
+            assert float(np.asarray(b["row_valid"]).sum()) == 0.0
+            assert np.isfinite(np.asarray(b["image"])).all()
+        # mono loader, same scenario
+        cfg2 = make_cfg(mads_root, dataset_type="MADS_2d", occl="None",
+                        batch=4)
+        mono = Mono2DLoader(cfg2, "valid")
+        assert mono.records == [] and mono._filler is not None
+        mb = list(mono)
+        assert len(mb) == len(mono) >= 1
+        for b in mb:
+            assert float(np.asarray(b["row_valid"]).sum()) == 0.0
+
     def test_single_process_is_identity(self, mads_root):
         loader = Stereo3DLoader(make_cfg(mads_root), "valid")
         assert len(loader.records) == 6
