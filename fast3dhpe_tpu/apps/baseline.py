@@ -87,6 +87,26 @@ class BaselineEstimator:
 
         self._predict_eval = _predict_eval
 
+        @jax.jit
+        def _predict_eval_cached(variables, frames, idx_l, idx_r, trans,
+                                 proj, pose_3d, vis):
+            # device-resident frames (stream.build_device_cache): gather
+            # by index, then the identical eval path; `frames` is an
+            # argument, never closed over (compile-request size limit)
+            img_l = jnp.take(frames, jnp.asarray(idx_l, jnp.int32), axis=0)
+            img_r = jnp.take(frames, jnp.asarray(idx_r, jnp.int32), axis=0)
+            return _predict_eval(variables, img_l, img_r, trans, proj,
+                                 pose_3d, vis)
+
+        @jax.jit
+        def _accum_eval(tot2, tot3, n, e2, e3, k):
+            m = (jnp.arange(e2.shape[0]) < k).astype(e2.dtype)
+            return (tot2 + jnp.sum(e2 * m), tot3 + jnp.sum(e3 * m),
+                    n + jnp.asarray(k, jnp.float32))
+
+        self._predict_eval_cached = _predict_eval_cached
+        self._accum_eval = _accum_eval
+
     def predict_batch(self, img_l, img_r, proj, trans=None):
         """Returns (pred_2d (B, 2, J, 2), pred_3d (B, J, 3)).
 
@@ -113,27 +133,52 @@ class BaselineEstimator:
         return kp, pred_3d
 
     def evaluate_movement(self, stream: LoadMADSData,
-                          batch_size: int = 32) -> Tuple[float, float]:
-        tot2, tot3, n = 0.0, 0.0, 0
+                          batch_size: int = 32,
+                          device_cache_bytes: int = 0
+                          ) -> Tuple[float, float]:
+        """Sequence-average MPJPE2D/MPJPE3D [ref: baseline.py:133-134].
+
+        Device-side accumulation + optional HBM frame cache, same loop
+        structure as CDRNetInferencer.evaluate_movement."""
+        tot2 = tot3 = n = jnp.zeros((), jnp.float32)
         identity = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
-        for batch in stream.batches(batch_size, device_warp=True):
+        for batch in stream.batches(batch_size, device_warp=True,
+                                    device_cache_bytes=device_cache_bytes):
             pose_3d = batch["pose_3d"]
             vis = np.logical_and.reduce(
                 ~np.isnan(pose_3d), axis=2).astype(np.float32)
             pose_3d = np.nan_to_num(pose_3d).astype(np.float32)
-            trans = batch.get("trans")
-            if trans is None:     # frames already cropped on host
-                trans = np.broadcast_to(identity, (pose_3d.shape[0], 2, 3))
-            e2, e3 = self._predict_eval(
-                self.variables, jnp.asarray(batch["img_l"]),
-                jnp.asarray(batch["img_r"]), jnp.asarray(trans),
-                jnp.asarray(batch["proj"]), jnp.asarray(pose_3d),
-                jnp.asarray(vis))
-            k = batch["n_valid"]
-            tot2 += float(np.asarray(e2)[:k].sum())
-            tot3 += float(np.asarray(e3)[:k].sum())
-            n += k
-        return tot2 / max(n, 1), tot3 / max(n, 1)
+            if "frames" in batch:
+                e2, e3 = self._predict_eval_cached(
+                    self.variables, batch["frames"], batch["idx_l"],
+                    batch["idx_r"], jnp.asarray(batch["trans"]),
+                    jnp.asarray(batch["proj"]), jnp.asarray(pose_3d),
+                    jnp.asarray(vis))
+            else:
+                trans = batch.get("trans")
+                if trans is None:     # frames already cropped on host
+                    trans = np.broadcast_to(identity,
+                                            (pose_3d.shape[0], 2, 3))
+                e2, e3 = self._predict_eval(
+                    self.variables, jnp.asarray(batch["img_l"]),
+                    jnp.asarray(batch["img_r"]), jnp.asarray(trans),
+                    jnp.asarray(batch["proj"]), jnp.asarray(pose_3d),
+                    jnp.asarray(vis))
+            tot2, tot3, n = self._accum_eval(tot2, tot3, n, e2, e3,
+                                             batch["n_valid"])
+        tot2, tot3, n = jax.device_get((tot2, tot3, n))
+        return float(tot2) / max(float(n), 1.0), \
+            float(tot3) / max(float(n), 1.0)
+
+    def render_frames(self, stream: LoadMADSData, max_frames: int,
+                      out_jpg: str = "test.jpg", batch_size: int = 32):
+        """Reference-style per-frame 2D overlay + 3D skeleton frames and
+        progressive test.jpg — the baseline app's render flow
+        [ref: baseline.py:85-101]; shared implementation with the CDRNet
+        inferencer (utils.render)."""
+        from ..utils.render import render_prediction_frames
+        return render_prediction_frames(self.predict_batch, stream,
+                                        max_frames, out_jpg, batch_size)
 
 
 def main():
@@ -143,9 +188,15 @@ def main():
     parser.add_argument("--config_path", type=str,
                         default="configs/mads_2d.yaml")
     parser.add_argument("--movement", type=str, default="HipHop")
+    parser.add_argument("--save_frames", type=int, default=None,
+                        help="Number of frames to render into a gif "
+                             "(reference baseline's viz flow)")
     parser.add_argument("--data_path", type=str,
                         default="data/MADS_extract/valid")
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--device_cache_mb", type=int, default=2048,
+                        help="HBM budget for the resident frame cache "
+                             "(0 disables; falls back to streaming)")
     parser.add_argument("--weights_root", type=str, default="weights")
     args = parser.parse_args()
 
@@ -156,9 +207,17 @@ def main():
     logger.info("%d frames in %s", len(stream), args.movement)
 
     estimator = BaselineEstimator(config, weights_root=args.weights_root)
-    e2, e3 = estimator.evaluate_movement(stream, args.batch_size)
+    e2, e3 = estimator.evaluate_movement(
+        stream, args.batch_size,
+        device_cache_bytes=args.device_cache_mb << 20)
     print("MPJPE2D: ", e2)
     print("MPJPE3D: ", e3)
+
+    if args.save_frames:
+        from ..utils import save_gif
+        frames = estimator.render_frames(stream, args.save_frames)
+        save_gif(frames, f"{args.movement}.gif")
+        logger.info("Wrote %s.gif (%d frames)", args.movement, len(frames))
 
 
 if __name__ == "__main__":

@@ -26,7 +26,7 @@ from ..models.metrics import per_sample_mpjpe
 from ..ops.warp import affine_warp, normalize_imagenet
 from ..data.stream import LoadMADSData
 from ..train.checkpoint import load_variables
-from ..utils import plot_pose_2d, plot_pose_3d, save_gif
+from ..utils import save_gif
 from ..utils.logging import setup_logger
 
 
@@ -80,9 +80,32 @@ class CDRNetInferencer:
                                       gt_l, gt_r, vis)
             return e2, e3
 
+        @jax.jit
+        def _predict_eval_cached(variables, frames, idx_l, idx_r, trans,
+                                 proj, pose_3d, vis):
+            # device-resident frames (stream.build_device_cache): gather
+            # the batch by index, then the identical eval path. `frames`
+            # is an ARGUMENT (closing over it would bake it into the
+            # graph and blow the relay's compile-request size limit).
+            img_l = jnp.take(frames, jnp.asarray(idx_l, jnp.int32), axis=0)
+            img_r = jnp.take(frames, jnp.asarray(idx_r, jnp.int32), axis=0)
+            return _predict_eval(variables, img_l, img_r, trans, proj,
+                                 pose_3d, vis)
+
+        @jax.jit
+        def _accum_eval(tot2, tot3, n, e2, e3, k):
+            # masked device-side accumulation: padded rows (>= n_valid)
+            # never count, and the loop stays free of per-batch host
+            # syncs — one fetch at the end of the movement
+            m = (jnp.arange(e2.shape[0]) < k).astype(e2.dtype)
+            return (tot2 + jnp.sum(e2 * m), tot3 + jnp.sum(e3 * m),
+                    n + jnp.asarray(k, jnp.float32))
+
         self._predict = _predict
         self._predict_raw = _predict_raw
         self._predict_eval = _predict_eval
+        self._predict_eval_cached = _predict_eval_cached
+        self._accum_eval = _accum_eval
 
     def predict_batch(self, img_l, img_r, proj, trans=None):
         """uint8 frames (B, H, W, 3) x2 + proj (B, 2, 3, 4) ->
@@ -97,81 +120,56 @@ class CDRNetInferencer:
         return self._predict(self.variables, jnp.asarray(img_l),
                              jnp.asarray(img_r), jnp.asarray(proj))
 
-    def evaluate_movement(self, stream: LoadMADSData, batch_size: int = 32
+    def evaluate_movement(self, stream: LoadMADSData, batch_size: int = 32,
+                          device_cache_bytes: int = 0
                           ) -> Tuple[float, float]:
         """Sequence-average MPJPE2D (px) / MPJPE3D (mm), averaged per frame
-        exactly like the reference loop [ref: inference.py:138-149]."""
-        tot2, tot3, n = 0.0, 0.0, 0
+        exactly like the reference loop [ref: inference.py:138-149].
+
+        Sums accumulate ON DEVICE and the host fetches once at the end —
+        a per-batch fetch would serialize the relay's ~20 ms RPC into
+        every batch. With device_cache_bytes > 0 the movement's frames
+        are resident in HBM and each batch is gathered by index (the loop
+        then moves no frame bytes at all)."""
+        tot2 = tot3 = n = jnp.zeros((), jnp.float32)
         identity = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
-        for batch in stream.batches(batch_size, device_warp=True):
+        for batch in stream.batches(batch_size, device_warp=True,
+                                    device_cache_bytes=device_cache_bytes):
             pose_3d = batch["pose_3d"]
             vis = np.logical_and.reduce(
                 ~np.isnan(pose_3d), axis=2).astype(np.float32)
             pose_3d = np.nan_to_num(pose_3d).astype(np.float32)
-            # host-warp fallback batches carry no trans: frames are
-            # already cropped, so the device crop is the identity
-            trans = batch.get("trans")
-            if trans is None:
-                trans = np.broadcast_to(
-                    identity, (pose_3d.shape[0], 2, 3))
-            e2, e3 = self._predict_eval(
-                self.variables, jnp.asarray(batch["img_l"]),
-                jnp.asarray(batch["img_r"]), jnp.asarray(trans),
-                jnp.asarray(batch["proj"]), jnp.asarray(pose_3d),
-                jnp.asarray(vis))
-            e2, e3 = np.asarray(e2), np.asarray(e3)
-            k = batch["n_valid"]
-            tot2 += float(e2[:k].sum())
-            tot3 += float(e3[:k].sum())
-            n += k
-        return tot2 / max(n, 1), tot3 / max(n, 1)
+            if "frames" in batch:
+                e2, e3 = self._predict_eval_cached(
+                    self.variables, batch["frames"], batch["idx_l"],
+                    batch["idx_r"], jnp.asarray(batch["trans"]),
+                    jnp.asarray(batch["proj"]), jnp.asarray(pose_3d),
+                    jnp.asarray(vis))
+            else:
+                # host-warp fallback batches carry no trans: frames are
+                # already cropped, so the device crop is the identity
+                trans = batch.get("trans")
+                if trans is None:
+                    trans = np.broadcast_to(
+                        identity, (pose_3d.shape[0], 2, 3))
+                e2, e3 = self._predict_eval(
+                    self.variables, jnp.asarray(batch["img_l"]),
+                    jnp.asarray(batch["img_r"]), jnp.asarray(trans),
+                    jnp.asarray(batch["proj"]), jnp.asarray(pose_3d),
+                    jnp.asarray(vis))
+            tot2, tot3, n = self._accum_eval(tot2, tot3, n, e2, e3,
+                                             batch["n_valid"])
+        tot2, tot3, n = jax.device_get((tot2, tot3, n))
+        return float(tot2) / max(float(n), 1.0), \
+            float(tot3) / max(float(n), 1.0)
 
     def render_frames(self, stream: LoadMADSData, max_frames: int,
                       out_jpg: str = "test.jpg", batch_size: int = 32):
-        """Reference-style per-frame visualization frames (RGB arrays).
-
-        Prediction runs in device-sized batches (one dispatch per batch
-        instead of the reference's one-frame-at-a-time model calls
-        [ref: inference.py:138-149] — on a ~20ms-RPC link per-frame
-        dispatch dominated the render path); matplotlib/cv2 rendering
-        stays per-frame on host.
-        """
-        import cv2
-        from ..geometry.camera import project_points_np
-        frames = []
-        for batch in stream.batches(batch_size):
-            if len(frames) > max_frames:
-                break
-            pred_2d, pred_3d = self.predict_batch(
-                batch["img_l"], batch["img_r"], batch["proj"])
-            pred_2d = np.asarray(pred_2d)
-            pred_3d = np.asarray(pred_3d)
-            P = batch["proj"]
-            poses = np.nan_to_num(batch["pose_3d"]).astype(np.float32)
-            # GT projection in numpy: per-frame jnp here costs ~20 ms RPC
-            # per op on the relay
-            gts_l = project_points_np(poses, P[:, 0])
-            gts_r = project_points_np(poses, P[:, 1])
-            for i in range(batch["n_valid"]):
-                if len(frames) > max_frames:
-                    break
-                pose_3d = poses[i]
-                gt_l, gt_r = gts_l[i], gts_r[i]
-                img_l, img_r = batch["img_l"][i], batch["img_r"][i]
-
-                img_2d = plot_pose_2d((gt_l, gt_r),
-                                      (pred_2d[i, 0], pred_2d[i, 1]),
-                                      (img_l.copy(), img_r.copy()))
-                img_2d = cv2.cvtColor(img_2d, cv2.COLOR_BGR2RGB)
-                img_3d = plot_pose_3d(pose_3d, pred_3d[i])
-                ratio = img_2d.shape[1] / img_3d.shape[1]
-                img_3d = cv2.resize(img_3d,
-                                    (int(img_3d.shape[1] * ratio),
-                                     int(img_3d.shape[0] * ratio)))
-                frames.append(np.vstack((img_2d, img_3d)))
-        if frames:
-            cv2.imwrite(out_jpg, cv2.cvtColor(frames[-1], cv2.COLOR_RGB2BGR))
-        return frames
+        """Reference-style per-frame visualization frames (RGB arrays);
+        shared flow in utils.render [ref: inference.py:91-109]."""
+        from ..utils.render import render_prediction_frames
+        return render_prediction_frames(self.predict_batch, stream,
+                                        max_frames, out_jpg, batch_size)
 
 
 def main():
@@ -188,6 +186,10 @@ def main():
     parser.add_argument("--data_path", type=str,
                         default="data/MADS_extract/valid")
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--device_cache_mb", type=int, default=2048,
+                        help="HBM budget for the resident frame cache "
+                             "(0 disables; oversized movements fall back "
+                             "to streaming automatically)")
     parser.add_argument("--weights_root", type=str, default="weights")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (fp32 params)")
@@ -223,7 +225,9 @@ def main():
         stream = LoadMADSData(args.data_path, config.MODEL.IMAGE_SIZE,
                               movement)
         logger.info("%d frames in %s", len(stream), movement)
-        e2, e3 = inferencer.evaluate_movement(stream, args.batch_size)
+        e2, e3 = inferencer.evaluate_movement(
+            stream, args.batch_size,
+            device_cache_bytes=args.device_cache_mb << 20)
         print(f"[{movement}] MPJPE2D: ", e2)
         print(f"[{movement}] MPJPE3D: ", e3)
         tot2 += e2 * len(stream)

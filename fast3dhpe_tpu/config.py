@@ -75,6 +75,12 @@ class DatasetConfig:
     # byte budget for the host RAM cache of decoded frames (0 = off);
     # framework extension — absent from the reference schema
     CACHE_BYTES: int = 0
+    # byte budget for the DEVICE-resident (HBM) decoded-frame cache
+    # (0 = off). When the dataset's decoded frames fit, batches are
+    # assembled on device by index gather and the per-step host->device
+    # frame traffic disappears (data/device_cache.py); oversized datasets
+    # fall back to the streaming host path automatically.
+    DEVICE_CACHE_BYTES: int = 0
     extra: dict = field(default_factory=dict)
 
 

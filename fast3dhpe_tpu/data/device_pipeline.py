@@ -68,9 +68,7 @@ def _check_occlusion(pose_2d, keep_mask):
     return vals
 
 
-@partial(jax.jit, static_argnames=("image_size", "occlusion", "train",
-                                   "return_masks"))
-def preprocess_stereo_batch(key, img_l, img_r, trans, P_l, P_r, pose_3d,
+def _preprocess_stereo_core(key, img_l, img_r, trans, P_l, P_r, pose_3d,
                             joints_vis, image_size: Tuple[int, int],
                             occlusion: Optional[str] = None,
                             train: bool = False, occl_prob: float = 0.3,
@@ -149,8 +147,39 @@ def preprocess_stereo_batch(key, img_l, img_r, trans, P_l, P_r, pose_3d,
     return out
 
 
-@partial(jax.jit, static_argnames=("image_size", "heatmap_size", "sigma"))
-def preprocess_mono_batch(img, trans, joints, joints_vis,
+preprocess_stereo_batch = partial(jax.jit, static_argnames=(
+    "image_size", "occlusion", "train", "return_masks"))(
+    _preprocess_stereo_core)
+
+
+@partial(jax.jit, static_argnames=("image_size", "occlusion", "train",
+                                   "return_masks"))
+def preprocess_stereo_batch_cached(key, frames, idx_l, idx_r, trans,
+                                   P_l, P_r, pose_3d, joints_vis,
+                                   image_size: Tuple[int, int],
+                                   occlusion: Optional[str] = None,
+                                   train: bool = False,
+                                   occl_prob: float = 0.3,
+                                   return_masks: bool = False):
+    """preprocess_stereo_batch fed from a device-resident frame cache.
+
+    frames is the (N, H0, W0, 3) uint8 resident array holding BOTH views'
+    frames (data.device_cache.DeviceFrameCache.frames, passed as an
+    argument — never closed over); idx_l / idx_r are (B,) int32 rows for
+    the left/right frame of each sample. The batch is gathered on device
+    and flows through the identical preprocessing core, so cached epochs
+    are bit-identical to uncached ones; only ~KBs of indices/affines cross
+    the host->device link per step.
+    """
+    img_l = jnp.take(frames, jnp.asarray(idx_l, jnp.int32), axis=0)
+    img_r = jnp.take(frames, jnp.asarray(idx_r, jnp.int32), axis=0)
+    return _preprocess_stereo_core(
+        key, img_l, img_r, trans, P_l, P_r, pose_3d, joints_vis,
+        image_size=image_size, occlusion=occlusion, train=train,
+        occl_prob=occl_prob, return_masks=return_masks)
+
+
+def _preprocess_mono_core(img, trans, joints, joints_vis,
                           image_size: Tuple[int, int],
                           heatmap_size: Tuple[int, int], sigma: int = 3):
     """Mono 2D preprocessing: warp + normalize + gaussian target render.
@@ -177,3 +206,29 @@ def preprocess_mono_batch(img, trans, joints, joints_vis,
         "target": target,
         "target_weight": weight,
     }
+
+
+preprocess_mono_batch = partial(jax.jit, static_argnames=(
+    "image_size", "heatmap_size", "sigma"))(_preprocess_mono_core)
+
+
+@partial(jax.jit, static_argnames=("image_size", "heatmap_size", "sigma"))
+def preprocess_mono_batch_cached(frames, idx, flip, trans, joints,
+                                 joints_vis, image_size: Tuple[int, int],
+                                 heatmap_size: Tuple[int, int],
+                                 sigma: int = 3):
+    """preprocess_mono_batch fed from a device-resident frame cache.
+
+    frames (N, H0, W0, 3) uint8 resident array (argument, never closed
+    over); idx (B,) int32 rows; flip (B,) bool — the horizontal flip the
+    host path applies to the raw frame pre-warp [ref: dataset/base.py:80-86]
+    runs here as an exact on-device mirror (joint coordinates were
+    already flipped on host), so cached epochs match uncached ones
+    bit-for-bit.
+    """
+    img = jnp.take(frames, jnp.asarray(idx, jnp.int32), axis=0)
+    img = jnp.where(jnp.asarray(flip, bool)[:, None, None, None],
+                    img[:, :, ::-1, :], img)
+    return _preprocess_mono_core(img, trans, joints, joints_vis,
+                                 image_size=image_size,
+                                 heatmap_size=heatmap_size, sigma=sigma)

@@ -38,7 +38,30 @@ from ..geometry.affine import (
 from .mads import (build_mads_index, build_mads_stereo_index,
                    MADS_FLIP_PAIRS)
 from .mpii import build_mpii_index, MPII_FLIP_PAIRS
-from .device_pipeline import preprocess_stereo_batch, preprocess_mono_batch
+from .device_pipeline import (preprocess_stereo_batch,
+                              preprocess_stereo_batch_cached,
+                              preprocess_mono_batch,
+                              preprocess_mono_batch_cached)
+
+
+_SHARED_POOL = None
+_SHARED_POOL_LOCK = threading.Lock()
+
+
+def shared_decode_pool(max_workers: int = 4) -> ThreadPoolExecutor:
+    """Process-level decode thread pool, shared by short-lived consumers.
+
+    Streaming iterators (data.stream.LoadMADSData) are created once per
+    movement/epoch; giving each its own executor accumulated 4-thread
+    pools until GC. One lazily-created shared pool serves them all for
+    the life of the process (daemon threads — nothing to shut down)."""
+    global _SHARED_POOL
+    with _SHARED_POOL_LOCK:
+        if _SHARED_POOL is None:
+            _SHARED_POOL = ThreadPoolExecutor(
+                max_workers=max_workers,
+                thread_name_prefix="f3d-decode-shared")
+        return _SHARED_POOL
 
 
 def _imread(path: str) -> np.ndarray:
@@ -174,12 +197,21 @@ class Stereo3DLoader:
 
     def __init__(self, cfg, image_set: str, mesh=None, seed: int = 0,
                  decode_threads: int = 4, cache_bytes: int = 0,
-                 return_masks: bool = False):
+                 device_cache_bytes: int = 0, return_masks: bool = False):
         """cache_bytes > 0 enables an in-RAM cache of decoded uint8 frames
         (exact numerics — frames are cached pre-warp). Epochs after the
         first skip JPEG decode entirely for cached frames; on this class of
         host the decode is otherwise the training bottleneck (the device
-        step is ~25x faster than single-core JPEG decode of a batch)."""
+        step is ~25x faster than single-core JPEG decode of a batch).
+
+        device_cache_bytes > 0 additionally keeps the decoded frames
+        RESIDENT IN DEVICE HBM (data/device_cache.py): batches are then
+        assembled on device by index gather, so after the one-time upload
+        no frame bytes cross the host->device link at all — the loop runs
+        at the compiled step rate instead of the link rate. Falls back to
+        the host path when the dataset exceeds the budget, frames are not
+        uniform-size, or the run is multi-process (per-host shards can't
+        be replicated)."""
         self.cfg = cfg
         self.image_set = image_set
         self.train = image_set == cfg.DATASET.TRAIN_SET
@@ -199,6 +231,9 @@ class Stereo3DLoader:
         self._cache_budget = cache_bytes
         self._cache_used = 0
         self._cache = {}         # path -> uint8 array
+        self._device_cache_budget = device_cache_bytes
+        self._device_cache = None
+        self._device_cache_failed = False
         # include the occlusion keep-masks in each batch (inspection
         # tooling [ref: tools/visualize.py:35-63]); off in training
         self.return_masks = return_masks
@@ -234,13 +269,17 @@ class Stereo3DLoader:
         n = len(recs)
         return imgs[:n], imgs[n:]
 
-    def _host_batch(self, recs: List[dict], rng: np.random.RandomState):
-        imgs_l, imgs_r = self._decode_stereo(recs)
+    def _meta_arrays(self, recs: List[dict], rng: np.random.RandomState,
+                     hw_list) -> dict:
+        """Per-sample affine + projection/pose arrays (no frames).
 
+        Draws the train-time scale/rot randomness in RECORD ORDER — the
+        cached and uncached paths consume the RandomState identically, so
+        a cached epoch is bit-identical to an uncached one at equal seed.
+        """
         B = len(recs)
         trans = np.zeros((B, 2, 3), np.float64)
-        for i, rec in enumerate(recs):
-            h, w = imgs_l[i].shape[:2]
+        for i, (rec, (h, w)) in enumerate(zip(recs, hw_list)):
             c = np.array([w / 2, h / 2])
             s, r = (1.0, 0.0)
             if self.train:
@@ -249,8 +288,6 @@ class Stereo3DLoader:
             trans[i] = get_affine_transform(c, s, r, min(h, w),
                                             self.image_size)
         return {
-            "img_l": np.stack(imgs_l),
-            "img_r": np.stack(imgs_r),
             "trans": trans.astype(np.float32),
             "P_l": np.stack([r["P_left"] for r in recs]).astype(np.float32),
             "P_r": np.stack([r["P_right"] for r in recs]).astype(np.float32),
@@ -260,7 +297,16 @@ class Stereo3DLoader:
                 .astype(np.float32),
         }
 
-    def _epoch_host_batches(self, rng):
+    def _host_batch(self, recs: List[dict], rng: np.random.RandomState):
+        imgs_l, imgs_r = self._decode_stereo(recs)
+        hb = self._meta_arrays(recs, rng,
+                               [im.shape[:2] for im in imgs_l])
+        hb["img_l"] = np.stack(imgs_l)
+        hb["img_r"] = np.stack(imgs_r)
+        return hb
+
+    def _epoch_rec_batches(self, rng):
+        """Yields (n_valid, recs) with static-shape padding applied."""
         order = (rng.permutation(len(self.records)) if self.train
                  else np.arange(len(self.records)))
         B = self.batch_size
@@ -272,34 +318,85 @@ class Stereo3DLoader:
                 recs = [self._filler]     # row_valid=0: never counted
             while len(recs) < B:                        # pad final batch
                 recs.append(recs[-1])
-            yield n_valid, self._host_batch(recs, rng)
+            yield n_valid, recs
+
+    def _ensure_device_cache(self):
+        """Build the HBM frame cache once; record failure and fall back."""
+        if self._device_cache is not None or self._device_cache_failed:
+            return self._device_cache
+        if not self._device_cache_budget:
+            self._device_cache_failed = True
+            return None
+        if jax.process_count() > 1:
+            # per-host record shards hold different frames; a replicated
+            # global array can't be assembled host-locally
+            self._device_cache_failed = True
+            return None
+        from .device_cache import DeviceFrameCache
+        paths = [rec[k] for rec in self.records
+                 for k in ("image_left", "image_right")]
+        cache = DeviceFrameCache.build(
+            paths, self._decode_paths, self._device_cache_budget,
+            mesh=self.mesh)
+        if cache is None:
+            self._device_cache_failed = True
+            return None
+        self._device_cache = cache
+        return cache
+
+    @property
+    def device_cached(self) -> bool:
+        """True once frames are resident in HBM (after the first epoch
+        of iteration with DEVICE_CACHE_BYTES set)."""
+        return self._device_cache is not None
 
     def __iter__(self):
         rng = np.random.RandomState(self.seed + self._epoch)
         key = jax.random.PRNGKey(self.seed * 10007 + self._epoch)
         self._epoch += 1
+        cache = self._ensure_device_cache()
+        occl = self.occlusion if self.train else None
 
         def gen():
             nonlocal key
-            for n_valid, hb in self._epoch_host_batches(rng):
+            from ..parallel import shard_batch
+            for n_valid, recs in self._epoch_rec_batches(rng):
                 key, sub = jax.random.split(key)
                 rv = _row_mask(n_valid, self.batch_size)
-                if self.mesh is not None:
-                    # shard the HOST batch (uint8 frames, 4x lighter than
-                    # normalized float32) BEFORE the device preprocess,
-                    # which then runs SPMD on the sharded arrays — under
-                    # multiple processes the old preprocess-then-shard
-                    # order forced a device->host->device round trip of
-                    # the whole preprocessed batch every step
-                    from ..parallel import shard_batch
-                    hb = shard_batch(self.mesh, hb)
-                    rv = shard_batch(self.mesh, rv)
-                batch = preprocess_stereo_batch(
-                    sub, hb["img_l"], hb["img_r"], hb["trans"],
-                    hb["P_l"], hb["P_r"], hb["pose_3d"], hb["joints_vis"],
-                    image_size=self.image_size,
-                    occlusion=(self.occlusion if self.train else None),
-                    train=self.train, return_masks=self.return_masks)
+                if cache is not None:
+                    hb = self._meta_arrays(
+                        recs, rng, [cache.frames.shape[1:3]] * len(recs))
+                    hb["idx_l"] = cache.rows(
+                        [r["image_left"] for r in recs])
+                    hb["idx_r"] = cache.rows(
+                        [r["image_right"] for r in recs])
+                    if self.mesh is not None:
+                        hb = shard_batch(self.mesh, hb)
+                        rv = shard_batch(self.mesh, rv)
+                    batch = preprocess_stereo_batch_cached(
+                        sub, cache.frames, hb["idx_l"], hb["idx_r"],
+                        hb["trans"], hb["P_l"], hb["P_r"], hb["pose_3d"],
+                        hb["joints_vis"], image_size=self.image_size,
+                        occlusion=occl, train=self.train,
+                        return_masks=self.return_masks)
+                else:
+                    hb = self._host_batch(recs, rng)
+                    if self.mesh is not None:
+                        # shard the HOST batch (uint8 frames, 4x lighter
+                        # than normalized float32) BEFORE the device
+                        # preprocess, which then runs SPMD on the sharded
+                        # arrays — under multiple processes the old
+                        # preprocess-then-shard order forced a
+                        # device->host->device round trip of the whole
+                        # preprocessed batch every step
+                        hb = shard_batch(self.mesh, hb)
+                        rv = shard_batch(self.mesh, rv)
+                    batch = preprocess_stereo_batch(
+                        sub, hb["img_l"], hb["img_r"], hb["trans"],
+                        hb["P_l"], hb["P_r"], hb["pose_3d"],
+                        hb["joints_vis"], image_size=self.image_size,
+                        occlusion=occl, train=self.train,
+                        return_masks=self.return_masks)
                 batch["row_valid"] = rv
                 yield batch
 
@@ -319,7 +416,8 @@ class Mono2DLoader:
 
     def __init__(self, cfg, image_set: str, mesh=None, seed: int = 0,
                  decode_threads: int = 4,
-                 device_preprocess: Optional[bool] = None):
+                 device_preprocess: Optional[bool] = None,
+                 device_cache_bytes: int = 0):
         self.cfg = cfg
         self.image_set = image_set
         self.train = image_set == cfg.DATASET.TRAIN_SET
@@ -328,19 +426,24 @@ class Mono2DLoader:
             records = build_mpii_index(cfg.DATASET.ROOT, image_set,
                                        cfg.MODEL.NUM_JOINTS)
             self.flip_pairs = MPII_FLIP_PAIRS
-            self.origin_size_fn = lambda img, rec: 200  # MPII scale units
         elif dataset_type == "MADS_2d":
             records = build_mads_index(cfg.DATASET.ROOT, image_set)
             self.flip_pairs = MADS_FLIP_PAIRS
-            self.origin_size_fn = lambda img, rec: min(img.shape[:2])
         else:
             raise NotImplementedError(dataset_type)
         self.records, self._global_num, self._filler = _shard_for_host(records)
         self.dataset_type = dataset_type
-        # device warp needs fixed-size raw frames -> MADS only by default
-        self.device_preprocess = (dataset_type == "MADS_2d"
-                                  if device_preprocess is None
-                                  else device_preprocess)
+        # device warp is the default for BOTH sources: MADS frames are
+        # uniform-size; MPII's variable-size frames are zero-padded to a
+        # bucketed batch max (pad reads are zero — exactly cv2's
+        # BORDER_CONSTANT, so the warp is unchanged; bucketing bounds the
+        # number of distinct compiled shapes). device_preprocess=False
+        # restores the reference-exact host cv2 path.
+        self.device_preprocess = (device_preprocess
+                                  if device_preprocess is not None
+                                  else True)
+        # pad-to-bucket only needed for variable-size sources
+        self.pad_bucket = 128 if dataset_type == "MPII" else None
         self.batch_size = (cfg.TRAIN.BATCH_SIZE if self.train
                            else cfg.TEST.BATCH_SIZE)
         self.image_size = tuple(cfg.MODEL.IMAGE_SIZE)
@@ -354,6 +457,9 @@ class Mono2DLoader:
         self._epoch = 0
         self._pool = ThreadPoolExecutor(max_workers=decode_threads)
         self._decode_paths = _BatchDecoder(self._pool)
+        self._device_cache_budget = device_cache_bytes
+        self._device_cache = None
+        self._device_cache_failed = False
 
     def __len__(self):
         return _num_lockstep_batches(self._global_num, self.batch_size)
@@ -362,18 +468,21 @@ class Mono2DLoader:
     def num_samples(self):
         return self._global_num
 
-    def _prepare_sample(self, rec, aug, img):
+    def _prepare_sample(self, rec, aug, img, hw=None):
         """aug: (scale_mult, rot_deg, do_flip) drawn on the main thread —
         RandomState is not thread-safe, so randomness never crosses into
         the worker pool. `img` is the pre-decoded frame (batch-decoded,
-        native C++ path for fixed-size sources).
+        native C++ path for fixed-size sources), or None in the
+        device-cache path (frames stay resident on device; `hw` supplies
+        the uniform frame size and the flip runs on device).
 
-        Returns (img, trans, joints_t, vis): `img` is host-warped for the
-        host path, or the raw (possibly flipped) frame for the device
-        path; joints are always transformed to output coords on host
-        (they depend on per-sample python RNG exactly as the reference).
+        Returns (img, trans, joints_t, vis, do_flip): `img` is host-warped
+        for the host path, the raw (possibly flipped) frame for the device
+        path, or None for the cached path; joints are always transformed
+        to output coords on host (they depend on per-sample python RNG
+        exactly as the reference).
         """
-        h, w = img.shape[:2]
+        h, w = img.shape[:2] if img is not None else hw
 
         if self.dataset_type == "MPII":
             c = rec["center"].copy()
@@ -385,18 +494,19 @@ class Mono2DLoader:
             s = np.array([1.0, 1.0])
             joints = rec["joints"][:, :2].copy()
             vis = rec["joints_vis"].copy()
-        origin_size = self.origin_size_fn(img, rec)
+        origin_size = (200 if self.dataset_type == "MPII"  # scale units
+                       else min(h, w))
 
         s_mult, r, do_flip = aug
         s = s * s_mult
         if do_flip:
-            img = img[:, ::-1, :]
+            if img is not None:
+                img = img[:, ::-1, :]
             joints3 = np.concatenate(
                 [joints, np.zeros((joints.shape[0], 1))], axis=1)
-            joints3, vis = fliplr_joints(joints3, vis, img.shape[1],
-                                         self.flip_pairs)
+            joints3, vis = fliplr_joints(joints3, vis, w, self.flip_pairs)
             joints = joints3[:, :2]
-            c[0] = img.shape[1] - c[0] - 1
+            c[0] = w - c[0] - 1
 
         trans = get_affine_transform(c, s, r, origin_size, self.image_size)
         # transform only visible joints [ref: dataset/base.py:94-96]
@@ -405,9 +515,27 @@ class Mono2DLoader:
         if visible.any():
             joints_t[visible] = affine_transform_points(
                 joints[visible], trans)
-        if not self.device_preprocess:
+        if img is not None and not self.device_preprocess:
             img = self._warp_host(img, trans)
-        return img, trans.astype(np.float32), joints_t, vis[:, 0]
+        return img, trans.astype(np.float32), joints_t, vis[:, 0], do_flip
+
+    def _bucket_pad(self, imgs: List[np.ndarray]) -> np.ndarray:
+        """Zero-pad a variable-size raw batch to the batch max rounded up
+        to `pad_bucket` multiples, so the device warp sees one of a small
+        set of static shapes (each distinct shape compiles once).
+
+        Zero padding is semantically exact: cv2.warpAffine reads 0 beyond
+        the true frame (BORDER_CONSTANT default) and ops.warp.affine_warp
+        zero-fills out-of-bounds samples — padded pixels only ever supply
+        the zeros both would produce anyway."""
+        b = self.pad_bucket
+        hb = -(-max(im.shape[0] for im in imgs) // b) * b
+        wb = -(-max(im.shape[1] for im in imgs) // b) * b
+        out = np.zeros((len(imgs), hb, wb, imgs[0].shape[2]),
+                       imgs[0].dtype)
+        for i, im in enumerate(imgs):
+            out[i, :im.shape[0], :im.shape[1]] = im
+        return out
 
     def _warp_host(self, img, trans):
         try:
@@ -421,7 +549,19 @@ class Mono2DLoader:
             out = affine_warp(img[None], trans, self.image_size)
             return np.asarray(out[0]).astype(np.uint8)
 
-    def _epoch_host_batches(self, rng):
+    def _draw_augs(self, rng, recs):
+        augs = []
+        for _ in recs:
+            if self.train:
+                s_mult, r = _train_scale_rot(rng, self.scale_factor,
+                                             self.rot_factor)
+                do_flip = self.flip and rng.random_sample() <= 0.5
+            else:
+                s_mult, r, do_flip = 1.0, 0.0, False
+            augs.append((s_mult, r, do_flip))
+        return augs
+
+    def _epoch_rec_batches(self, rng):
         order = (rng.permutation(len(self.records)) if self.train
                  else np.arange(len(self.records)))
         B = self.batch_size
@@ -433,28 +573,78 @@ class Mono2DLoader:
                 recs = [self._filler]     # row_valid=0: never counted
             while len(recs) < B:
                 recs.append(recs[-1])
-            augs = []
-            for _ in recs:
-                if self.train:
-                    s_mult, r = _train_scale_rot(rng, self.scale_factor,
-                                                 self.rot_factor)
-                    do_flip = self.flip and rng.random_sample() <= 0.5
-                else:
-                    s_mult, r, do_flip = 1.0, 0.0, False
-                augs.append((s_mult, r, do_flip))
+            yield n_valid, recs
+
+    def _epoch_host_batches(self, rng):
+        for n_valid, recs in self._epoch_rec_batches(rng):
+            augs = self._draw_augs(rng, recs)
             imgs_raw = self._decode_paths([r["image"] for r in recs])
             samples = list(self._pool.map(
                 lambda ra: self._prepare_sample(ra[0], ra[1], ra[2]),
                 zip(recs, augs, imgs_raw)))
-            imgs = np.stack([np.ascontiguousarray(s[0]) for s in samples])
+            if self.device_preprocess and self.pad_bucket:
+                imgs = self._bucket_pad([s[0] for s in samples])
+            else:
+                imgs = np.stack([np.ascontiguousarray(s[0])
+                                 for s in samples])
             trans = np.stack([s[1] for s in samples])
             joints = np.stack([s[2] for s in samples]).astype(np.float32)
             vis = np.stack([s[3] for s in samples]).astype(np.float32)
             yield n_valid, imgs, trans, joints, vis
 
+    def _ensure_device_cache(self):
+        """Build the HBM frame cache once (uniform-size sources only —
+        MPII's variable frames make build() return None and the host path
+        stays); requires device_preprocess (the warp must run on device
+        for frames to stay resident)."""
+        if self._device_cache is not None or self._device_cache_failed:
+            return self._device_cache
+        if (not self._device_cache_budget or not self.device_preprocess
+                or jax.process_count() > 1):
+            self._device_cache_failed = True
+            return None
+        from .device_cache import DeviceFrameCache
+        cache = DeviceFrameCache.build(
+            [rec["image"] for rec in self.records], self._decode_paths,
+            self._device_cache_budget, mesh=self.mesh)
+        if cache is None:
+            self._device_cache_failed = True
+            return None
+        self._device_cache = cache
+        return cache
+
+    @property
+    def device_cached(self) -> bool:
+        return self._device_cache is not None
+
     def __iter__(self):
         rng = np.random.RandomState(self.seed + self._epoch)
         self._epoch += 1
+        cache = self._ensure_device_cache()
+
+        def cached_gen():
+            from ..parallel import shard_batch
+            hw = (int(cache.frames.shape[1]), int(cache.frames.shape[2]))
+            for n_valid, recs in self._epoch_rec_batches(rng):
+                augs = self._draw_augs(rng, recs)
+                samples = [self._prepare_sample(rec, aug, None, hw=hw)
+                           for rec, aug in zip(recs, augs)]
+                idx = cache.rows([r["image"] for r in recs])
+                flip = np.asarray([s[4] for s in samples], bool)
+                trans = np.stack([s[1] for s in samples])
+                joints = np.stack([s[2] for s in samples]) \
+                    .astype(np.float32)
+                vis = np.stack([s[3] for s in samples]).astype(np.float32)
+                rv = _row_mask(n_valid, self.batch_size)
+                if self.mesh is not None:
+                    idx, flip, trans, joints, vis, rv = shard_batch(
+                        self.mesh, (idx, flip, trans, joints, vis, rv))
+                batch = preprocess_mono_batch_cached(
+                    cache.frames, idx, flip, trans, joints, vis,
+                    image_size=self.image_size,
+                    heatmap_size=self.heatmap_size, sigma=self.sigma)
+                batch["row_valid"] = rv
+                yield batch
 
         def gen():
             from ..ops.warp import normalize_imagenet
@@ -485,7 +675,7 @@ class Mono2DLoader:
                 batch["row_valid"] = rv
                 yield batch
 
-        return _prefetch(gen())
+        return _prefetch(cached_gen() if cache is not None else gen())
 
 
 def load_data(config, mesh=None, seed: int = 0):
@@ -497,9 +687,11 @@ def load_data(config, mesh=None, seed: int = 0):
     kwargs = {}
     if t in ("MPII", "MADS_2d"):
         cls = Mono2DLoader
+        kwargs["device_cache_bytes"] = config.DATASET.DEVICE_CACHE_BYTES
     elif t == "MADS_3d":
         cls = Stereo3DLoader
         kwargs["cache_bytes"] = config.DATASET.CACHE_BYTES
+        kwargs["device_cache_bytes"] = config.DATASET.DEVICE_CACHE_BYTES
     else:
         raise NotImplementedError(t)
     train_loader = cls(config, config.DATASET.TRAIN_SET, mesh=mesh,

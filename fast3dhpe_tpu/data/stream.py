@@ -18,24 +18,57 @@ import copy
 import glob
 import json
 import os
-from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List
 
 import numpy as np
 
 from ..geometry.affine import (get_affine_transform,
                                update_intrinsics_with_affine)
-from .loader import _imread, _BatchDecoder, _prefetch
+from .loader import _imread, _BatchDecoder, _prefetch, shared_decode_pool
 
 
 class LoadMADSData:
-    """Frame-by-frame iterator, API-compatible with the reference."""
+    """Frame-by-frame iterator, API-compatible with the reference.
+
+    Decode threads come from the process-level shared pool
+    (loader.shared_decode_pool) — one stream is created per movement /
+    epoch by `inference --movement all` and the bench loops, so
+    per-instance pools would accumulate until GC. `close()` exists for
+    API symmetry but owns nothing."""
 
     def __init__(self, data_path: str, image_size, movement: str = "HipHop"):
         self.metadata = self._gen_metadata(data_path, movement)
         self.image_size = tuple(image_size)
-        self._pool = ThreadPoolExecutor(max_workers=4)
+        self._pool = shared_decode_pool()
         self._decoder = _BatchDecoder(self._pool)
+        # device-warp eligibility is probed ONCE per sequence (first
+        # batch): deciding per batch would alternate raw/host-warped
+        # batch shapes on mixed-size sequences, forcing a fresh remote
+        # XLA compile of the eval graph (minutes on this relay) at every
+        # flip. None = not probed yet.
+        self._uniform_size = None
+        self._device_cache = None
+        self._device_cache_failed = False
+
+    def close(self):
+        """No-op (decode threads belong to the shared process pool)."""
+
+    def build_device_cache(self, budget_bytes: int):
+        """Decode the whole movement once into device HBM
+        (data.device_cache.DeviceFrameCache); batches() then yields index
+        batches and the consumer gathers frames on device — no per-batch
+        frame bytes on the host->device link. Returns the cache, or None
+        (over budget / mixed frame sizes -> streaming fallback)."""
+        if self._device_cache is None and not self._device_cache_failed:
+            from .device_cache import DeviceFrameCache
+            paths = ([m["left_img_path"] for m in self.metadata]
+                     + [m["right_img_path"] for m in self.metadata])
+            cache = DeviceFrameCache.build(paths, self._decoder,
+                                           budget_bytes)
+            if cache is None:
+                self._device_cache_failed = True
+            self._device_cache = cache
+        return self._device_cache
 
     def __len__(self):
         return len(self.metadata)
@@ -102,8 +135,8 @@ class LoadMADSData:
                     meta[cam]["translation"]).reshape(3, 1)
         return np.einsum("bvij,bvjk->bvik", K, Rt).astype(np.float32)
 
-    def batches(self, batch_size: int,
-                device_warp: bool = False) -> Iterator[Dict]:
+    def batches(self, batch_size: int, device_warp: bool = False,
+                device_cache_bytes: int = 0) -> Iterator[Dict]:
         """Batched streaming: yields dicts of stacked frames + projection
         matrices + GT — the TPU-friendly eval path. Decoding runs through
         the shared batch decoder and one batch is prefetched in a
@@ -115,7 +148,18 @@ class LoadMADSData:
         warp otherwise) plus a "trans" (B, 2, 3) key, and the consumer
         warps on device (apps.inference does, via ops.warp.affine_warp —
         parity-tested against cv2). Projections are crop-corrected either
-        way."""
+        way.
+
+        device_cache_bytes > 0: the movement's frames are made resident in
+        device HBM once (build_device_cache) and batches carry
+        "frames"/"idx_l"/"idx_r" instead of image arrays — the consumer
+        gathers + warps on device (apps.inference._predict_eval_cached).
+        Falls back to the device_warp/host path when the cache can't be
+        built."""
+        if device_cache_bytes:
+            cache = self.build_device_cache(device_cache_bytes)
+            if cache is not None:
+                return self._cached_batches(batch_size, cache)
 
         def gen():
             n = len(self.metadata)
@@ -140,9 +184,18 @@ class LoadMADSData:
                     "pose_3d": poses,
                     "n_valid": n_valid,
                 }
-                uniform = (len({i.shape for i in raw_l} |
-                               {i.shape for i in raw_r}) == 1)
-                if device_warp and uniform:
+                shapes = {i.shape for i in raw_l} | {i.shape for i in raw_r}
+                if self._uniform_size is None:
+                    # probe once; the first batch's verdict holds for the
+                    # whole sequence (one eval-graph shape, one compile)
+                    self._uniform_size = (next(iter(shapes))
+                                          if len(shapes) == 1 else False)
+                # a batch deviating from the probed shape host-warps to the
+                # fixed output size instead of minting a new raw shape
+                # (bounds the compile count at 2 graphs per sequence)
+                this_uniform = (self._uniform_size
+                                and shapes == {self._uniform_size})
+                if device_warp and this_uniform:
                     batch["img_l"] = np.stack(raw_l)
                     batch["img_r"] = np.stack(raw_r)
                     batch["trans"] = np.stack(transes).astype(np.float32)
@@ -152,6 +205,38 @@ class LoadMADSData:
                     batch["img_r"] = np.stack([
                         self._warp(i, t) for i, t in zip(raw_r, transes)])
                 yield batch
+
+        return _prefetch(gen())
+
+    def _cached_batches(self, batch_size: int, cache) -> Iterator[Dict]:
+        """Index batches over resident frames: per-batch host work is a
+        few KB of indices/affines/projections — no image bytes."""
+
+        def gen():
+            n = len(self.metadata)
+            h, w = (int(cache.frames.shape[1]), int(cache.frames.shape[2]))
+            c = np.array([w / 2, h / 2])
+            trans0 = get_affine_transform(c, 1, 0, min(h, w),
+                                          self.image_size)
+            for start in range(0, n, batch_size):
+                metas = self.metadata[start:start + batch_size]
+                n_valid = len(metas)
+                while len(metas) < batch_size:
+                    metas = metas + [metas[-1]]
+                transes = [trans0] * len(metas)
+                yield {
+                    "frames": cache.frames,
+                    "idx_l": cache.rows(
+                        [m["left_img_path"] for m in metas]),
+                    "idx_r": cache.rows(
+                        [m["right_img_path"] for m in metas]),
+                    "trans": np.stack(transes).astype(np.float32),
+                    "proj": self._batch_proj(metas, transes),
+                    "pose_3d": np.stack(
+                        [np.array(m["pose_3d"], dtype=np.float64)
+                         for m in metas]),
+                    "n_valid": n_valid,
+                }
 
         return _prefetch(gen())
 

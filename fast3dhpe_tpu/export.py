@@ -29,9 +29,14 @@ from .ops.warp import normalize_imagenet
 
 
 def make_serving_fn(model, variables):
-    """(img_l, img_r) uint8/float [0,255] (B,H,W,3) + proj (B,2,3,4) ->
+    """(img_l, img_r) uint8 [0,255] (B,H,W,3) + proj (B,2,3,4) ->
     (pred_2d (B,2,J,2), pred_3d (B,J,3)). Weights are closed over (they
-    become constants of the exported graph)."""
+    become constants of the exported graph).
+
+    The traced function itself accepts any [0,255] dtype, but
+    export_cdrnet pins the exported signature to uint8 (4x cheaper on the
+    wire) and load_serving rejects float inputs rather than silently
+    truncating them — convert float frames explicitly before calling."""
 
     def serve(img_l, img_r, proj):
         imgs = jnp.stack([normalize_imagenet(img_l),

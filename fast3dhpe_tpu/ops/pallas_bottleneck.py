@@ -42,7 +42,8 @@ def fold_bn(scale, bias, mean, var, eps: float = 1e-5):
 
 def _bottleneck_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
                        b2_ref, w3_ref, s3_ref, b3_ref, wd_ref, sd_ref,
-                       bd_ref, out_ref, hpad_ref, *, has_downsample: bool):
+                       bd_ref, out_ref, hpad_ref, *, has_downsample: bool,
+                       conv2_mode: str = "taps"):
     S, H, W, Cin = x_ref.shape
     P = w1_ref.shape[1]            # planes
     Cout = w3_ref.shape[1]         # 4 * planes
@@ -53,29 +54,60 @@ def _bottleneck_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
     h = jnp.dot(xm, w1_ref[:], preferred_element_type=jnp.float32)
     h = jnp.maximum(h * s1_ref[:] + b1_ref[:], 0.0).astype(x.dtype)
 
-    # conv2 (3x3, pad 1): write h into a zero-padded VMEM scratch once,
-    # then accumulate 9 matmuls over STATIC spatial slices of the scratch.
-    # (A 9-tap channel-axis concat was measured 4x slower — 64-wide lane-
-    # offset copies; spatial slices are sublane-cheap.)
-    hpad_ref[:] = jnp.zeros_like(hpad_ref)
-    hpad_ref[:, 1:H + 1, 1:W + 1, :] = h.reshape(S, H, W, P)
+    if conv2_mode == "taps":
+        # conv2 (3x3, pad 1): write h into a zero-padded VMEM scratch
+        # once, then accumulate 9 matmuls over STATIC spatial slices.
+        # (A 9-tap channel-axis concat was measured 4x slower — 64-wide
+        # lane-offset copies; spatial slices are sublane-cheap.)
+        hpad_ref[:] = jnp.zeros_like(hpad_ref)
+        hpad_ref[:, 1:H + 1, 1:W + 1, :] = h.reshape(S, H, W, P)
 
-    def ky_body(ky, acc):
-        # fori over ky (dim 1 is untiled — dynamic index allowed; a fully
-        # unrolled 9-tap loop kept all tap loads live and blew the 16MB
-        # VMEM stack; dim 2 is the sublane dim, so kx must stay STATIC —
-        # Mosaic requires dynamic sublane indices to be multiples of 8)
-        for kx in range(3):
-            t = hpad_ref[:, pl.ds(ky, H), kx:kx + W, :]
-            tm = t.reshape(S * H * W, P)
-            start = pl.multiple_of((ky * 3 + kx) * P, P)
-            wtap = w2_ref[pl.ds(start, P), :]
-            acc = acc + jnp.dot(tm, wtap,
-                                preferred_element_type=jnp.float32)
-        return acc
+        def ky_body(ky, acc):
+            # fori over ky (dim 1 is untiled — dynamic index allowed; a
+            # fully unrolled 9-tap loop kept all tap loads live and blew
+            # the 16MB VMEM stack; dim 2 is the sublane dim, so kx must
+            # stay STATIC — Mosaic requires dynamic sublane indices to be
+            # multiples of 8)
+            for kx in range(3):
+                t = hpad_ref[:, pl.ds(ky, H), kx:kx + W, :]
+                tm = t.reshape(S * H * W, P)
+                start = pl.multiple_of((ky * 3 + kx) * P, P)
+                wtap = w2_ref[pl.ds(start, P), :]
+                acc = acc + jnp.dot(tm, wtap,
+                                    preferred_element_type=jnp.float32)
+            return acc
 
-    acc = jax.lax.fori_loop(0, 3, ky_body,
-                            jnp.zeros((S * H * W, P), jnp.float32))
+        acc = jax.lax.fori_loop(0, 3, ky_body,
+                                jnp.zeros((S * H * W, P), jnp.float32))
+    else:
+        # conv2_mode == "xpack": implicit-im2col with the kx axis PACKED
+        # into channels — the scratch holds [h, h<<1x, h<<2x, 0] as a
+        # (.., 4P)-channel tensor, so each ky needs ONE K=4P matmul
+        # instead of three K=P ones (the round-2 anti-finding measured
+        # the K=P taps at their own MXU envelope, still behind XLA's
+        # implicit-im2col K=9P; this narrows the K gap to 4P~2.25x at
+        # 25% padded-FLOP waste). Build cost: three big VMEM stores, one
+        # of them at lane offset P (static half-tile offset).
+        z = hpad_ref                     # (S, H+2, W+2, 4P)
+        z[:] = jnp.zeros_like(z)
+        hp = h.reshape(S, H, W, P)
+        # slot c holds hpad shifted left by c: Z[y', x', cP:(c+1)P] =
+        # hpad[y', x'+c] (zero where x'+c leaves the padded frame), so a
+        # single spatial read Z[ky:ky+H, 0:W] yields the kx=0,1,2 taps
+        # side by side in channels
+        z[:, 1:H + 1, 1:W + 1, 0:P] = hp               # c=0 (aligned)
+        z[:, 1:H + 1, 0:W, P:2 * P] = hp               # c=1 (offset P)
+        z[:, 1:H + 1, 0:W - 1, 2 * P:3 * P] = hp[:, :, 1:, :]  # c=2
+
+        def ky_body(ky, acc):
+            t = z[:, pl.ds(ky, H), 0:W, :]             # (S, H, W, 4P)
+            tm = t.reshape(S * H * W, 4 * P)
+            wk = w2_ref[ky]                            # (4P, P)
+            return acc + jnp.dot(tm, wk,
+                                 preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(0, 3, ky_body,
+                                jnp.zeros((S * H * W, P), jnp.float32))
     h2 = jnp.maximum(acc * s2_ref[:] + b2_ref[:], 0.0).astype(x.dtype)
 
     # conv3 (1x1) + BN. The residual add happens in the compute dtype
@@ -95,10 +127,11 @@ def _bottleneck_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
     out_ref[:] = out.reshape(S, H, W, Cout)
 
 
-@partial(jax.jit, static_argnames=("samples_per_cell", "interpret"))
+@partial(jax.jit, static_argnames=("samples_per_cell", "interpret",
+                                   "conv2_mode"))
 def fused_bottleneck(x, w1, s1, b1, w2, s2, b2, w3, s3, b3,
                      wd=None, sd=None, bd=None, samples_per_cell: int = 1,
-                     interpret: bool = False):
+                     interpret: bool = False, conv2_mode: str = "taps"):
     """Stride-1 bottleneck block, fused, inference-mode BN.
 
     Args:
@@ -107,6 +140,9 @@ def fused_bottleneck(x, w1, s1, b1, w2, s2, b2, w3, s3, b3,
       wd: optional (Cin, 4P) downsample 1x1 (required when Cin != 4P).
       s*/b*: folded BN scale/bias per conv (fold_bn).
       samples_per_cell: grid granularity (VMEM budget knob).
+      conv2_mode: "taps" (9 accumulated K=P matmuls) or "xpack"
+        (kx packed into channels: 3 accumulated K=4P matmuls over a 4x
+        larger scratch — the implicit-im2col formulation; see kernel).
     Returns:
       (B, H, W, 4P) in x.dtype.
     """
@@ -116,13 +152,22 @@ def fused_bottleneck(x, w1, s1, b1, w2, s2, b2, w3, s3, b3,
     S = samples_per_cell
     if B % S:
         raise ValueError(f"batch {B} not divisible by samples_per_cell {S}")
+    if conv2_mode not in ("taps", "xpack"):
+        raise ValueError(f"unknown conv2_mode {conv2_mode!r}")
     has_ds = wd is not None
     if not has_ds and Cin != Cout:
         raise ValueError("identity residual requires Cin == Cout")
 
     dt = x.dtype
-    # 3x3 kernel HWIO -> (9P, P) rows ordered like the tap concat above
-    w2m = jnp.asarray(w2, dt).reshape(9 * P, P)
+    if conv2_mode == "taps":
+        # 3x3 kernel HWIO -> (9P, P) rows ordered like the tap loop
+        w2m = jnp.asarray(w2, dt).reshape(9 * P, P)
+    else:
+        # (3, 4P, P): per ky, the kx taps stacked in K with a zero 4th
+        # slot matching the scratch's packed channel layout
+        w2m = jnp.zeros((3, 4 * P, P), dt)
+        w2m = w2m.at[:, :3 * P, :].set(
+            jnp.asarray(w2, dt).reshape(3, 3 * P, P))
 
     def vec(v):          # per-channel vectors as (1, C) rows (VMEM tiling)
         return jnp.asarray(v, jnp.float32).reshape(1, -1)
@@ -142,15 +187,17 @@ def fused_bottleneck(x, w1, s1, b1, w2, s2, b2, w3, s3, b3,
     wspecs = [pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
                            memory_space=pltpu.VMEM) for a in args]
 
+    scratch_ch = P if conv2_mode == "taps" else 4 * P
     out = pl.pallas_call(
-        partial(_bottleneck_kernel, has_downsample=has_ds),
+        partial(_bottleneck_kernel, has_downsample=has_ds,
+                conv2_mode=conv2_mode),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), dt),
         grid=(B // S,),
         in_specs=[pl.BlockSpec((S, H, W, Cin), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)] + wspecs,
         out_specs=pl.BlockSpec((S, H, W, Cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((S, H + 2, W + 2, P), dt)],
+        scratch_shapes=[pltpu.VMEM((S, H + 2, W + 2, scratch_ch), dt)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * P * (Cin + 9 * P + Cout

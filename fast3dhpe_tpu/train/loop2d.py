@@ -32,7 +32,7 @@ from ..models.metrics import pck_from_counts
 from ..data import load_data
 from .state import TrainState, make_optimizer, multistep_lr
 from .steps import make_train_step_2d, make_eval_step_2d
-from .checkpoint import (save_checkpoint, load_torch_checkpoint,
+from .checkpoint import (save_checkpoint, load_variables,
                          merge_encoder_only, restore_checkpoint_compat)
 from ..utils.logging import setup_logger
 from ..utils.profiling import StepTracer, ThroughputMeter
@@ -131,7 +131,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     if config.MODEL.PRETRAINED:
         logger.info("Loading pretrained encoder from %s",
                     config.MODEL.PRETRAINED)
-        pretrained = load_torch_checkpoint(config.MODEL.PRETRAINED)
+        # accepts a reference torch .pth or a native orbax dir
+        pretrained = load_variables(config.MODEL.PRETRAINED)
         variables = merge_encoder_only(variables, pretrained)
 
     steps_per_epoch = len(train_loader)

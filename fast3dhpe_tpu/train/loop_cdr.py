@@ -29,7 +29,7 @@ from ..models import CDRNet, make_loss
 from ..data import load_data
 from .state import TrainState, make_optimizer, multistep_lr
 from .steps import make_train_step_cdr, make_eval_step_cdr
-from .checkpoint import (save_checkpoint, load_torch_checkpoint,
+from .checkpoint import (save_checkpoint, load_variables,
                          merge_encoder_only)
 from .loop2d import _prepare_model_dir, _state_tree, _tree_add, _restore_state
 from ..utils.logging import setup_logger
@@ -77,9 +77,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     variables = model.init(jax.random.PRNGKey(seed), dummy_imgs, dummy_proj,
                            train=False)
     if config.MODEL.PRETRAINED:
+        # the reference's staged recipe: 2D backbone pretrain ->
+        # encoder-only transfer -> CDR fine-tune [ref: train_cdr.py:46-49,
+        # models/cdrnet.py:103-118]. PRETRAINED may be a reference torch
+        # .pth OR a native orbax dir saved by the 2D loop.
         logger.info("Loading pretrained encoder from %s",
                     config.MODEL.PRETRAINED)
-        pretrained = load_torch_checkpoint(config.MODEL.PRETRAINED)
+        pretrained = load_variables(config.MODEL.PRETRAINED)
         variables = merge_encoder_only(variables, pretrained)
 
     steps_per_epoch = len(train_loader)

@@ -1,0 +1,124 @@
+"""Staged reference training protocol at flagship depth (real TPU).
+
+Runs the reference's ACTUAL recipe end-to-end on the synthetic MADS rig
+[ref: train_cdr.py:46-49, models/poseresnet.py:23-38]:
+
+  stage 1: train the 2D backbone (PoseResNet) on MADS_2d-style data
+  stage 2: transfer ENCODER-ONLY weights into CDRNet (decoder + fusion
+           re-initialized), 2D-warmup, then end-to-end 3D fine-tune
+
+From-scratch CDRNet-101 reached only 209.3 mm on this rig (BASELINE.md);
+the staged protocol is the reference's answer to exactly that — the goal
+is <= the from-scratch CDRNet-18 mark (181.5 mm) at depth 101.
+
+    python scripts/staged_convergence.py [--layers 101] \
+        [--epochs2d 30] [--epochs3d 40]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=101)
+    ap.add_argument("--epochs2d", type=int, default=30)
+    ap.add_argument("--epochs3d", type=int, default=40)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--frames", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr2d", type=float, default=1e-3)
+    ap.add_argument("--lr3d", type=float, default=1e-3)
+    ap.add_argument("--workdir", type=str, default=None,
+                    help="reuse a fixed dir (resume-friendly across runs)")
+    ap.add_argument("--skip2d", action="store_true",
+                    help="reuse an existing stage-1 checkpoint in workdir")
+    args = ap.parse_args()
+
+    from fast3dhpe_tpu.config import config_from_dict
+    from fast3dhpe_tpu.data.synthetic import make_synthetic_mads
+    from fast3dhpe_tpu.train import loop2d, loop_cdr
+    from fast3dhpe_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    work = args.workdir or tempfile.mkdtemp(prefix="staged_conv_")
+    os.makedirs(work, exist_ok=True)
+    root = f"{work}/data"
+    if not os.path.isdir(os.path.join(root, "train")):
+        make_synthetic_mads(root, n_frames=args.frames, img_w=256,
+                            img_h=192)
+    weights = f"{work}/weights"
+
+    dataset_common = {
+        "ROOT": root, "TRAIN_SET": "train", "TEST_SET": "valid",
+        "FLIP": True, "ROT_FACTOR": 30, "SCALE_FACTOR": 0.25,
+        "CACHE_BYTES": 2 << 30, "DEVICE_CACHE_BYTES": 4 << 30,
+    }
+    extra = {"TARGET_TYPE": "gaussian", "SIGMA": 3,
+             "HEATMAP_SIZE": [64, 64]}
+
+    # ---- stage 1: 2D backbone [ref: configs/mads_2d.yaml] ----
+    stage1_name = f"staged2d_{args.layers}"
+    stage1_ckpt = os.path.join(weights, stage1_name, "best")
+    if not (args.skip2d and os.path.isdir(stage1_ckpt)):
+        cfg2d = config_from_dict({
+            "DATASET": {"TYPE": "MADS_2d", "OCCLUSION": "None",
+                        **dataset_common},
+            "MODEL": {"NUM_JOINTS": 19, "NUM_LAYERS": args.layers,
+                      "NAME": stage1_name, "PRETRAINED": "",
+                      "IMAGE_SIZE": [256, 256], "EXTRA": extra},
+            "TRAIN": {"BATCH_SIZE": args.batch, "EPOCH": args.epochs2d,
+                      "LR": args.lr2d,
+                      "LR_STEP": [int(args.epochs2d * 0.7)],
+                      "LR_FACTOR": 0.1},
+            "TEST": {"BATCH_SIZE": args.batch},
+            "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSE"},
+        })
+        t0 = time.time()
+        hist2d = loop2d.run(cfg2d, overwrite=True, weights_root=weights,
+                            compute_dtype="bfloat16")
+        print(f"stage1 (2D, {args.epochs2d} ep, {time.time()-t0:.0f}s): "
+              f"best val acc {max(hist2d['val_acc']):.3f}")
+    if not os.path.isdir(stage1_ckpt):
+        stage1_ckpt = os.path.join(weights, stage1_name, "latest")
+
+    # ---- stage 2: encoder-only transfer + CDR fine-tune ----
+    cfg3d = config_from_dict({
+        "DATASET": {"TYPE": "MADS_3d", "OCCLUSION": "CUTOUT",
+                    **dataset_common},
+        "MODEL": {"NUM_JOINTS": 19, "NUM_LAYERS": args.layers,
+                  "NAME": f"staged3d_{args.layers}",
+                  "PRETRAINED": stage1_ckpt,
+                  "IMAGE_SIZE": [256, 256], "EXTRA": extra},
+        "TRAIN": {"BATCH_SIZE": args.batch, "EPOCH": args.epochs3d,
+                  "LR": args.lr3d, "LR_STEP": [int(args.epochs3d * 0.7)],
+                  "LR_FACTOR": 0.1, "WARMUP": args.warmup,
+                  "LOSS_3D_WEIGHT": 4},
+        "TEST": {"BATCH_SIZE": args.batch},
+        "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSESmooth"},
+    })
+    t0 = time.time()
+    hist = loop_cdr.run(cfg3d, overwrite=True, weights_root=weights,
+                        compute_dtype="bfloat16")
+    post = hist["val_mpjpe_3d"][args.warmup + 1:] or hist["val_mpjpe_3d"]
+    best = min(post)
+    print(f"stage2 (CDR-{args.layers}, {args.epochs3d} ep, "
+          f"{time.time()-t0:.0f}s): best val 3D MPJPE {best:.1f} mm "
+          f"(final {hist['val_mpjpe_3d'][-1]:.1f} mm), "
+          f"best 2D {min(hist['val_mpjpe_2d']):.2f} px")
+    print(json.dumps({"staged_best_mpjpe3d_mm": round(best, 1),
+                      "layers": args.layers,
+                      "epochs2d": args.epochs2d,
+                      "epochs3d": args.epochs3d,
+                      "history_mpjpe3d": [round(v, 1)
+                                          for v in hist["val_mpjpe_3d"]]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""Device-resident frame cache: correctness + fallback behavior.
+
+The cache changes WHERE batches are assembled (on-device gather from
+resident frames vs host-stacked decoded frames), not WHAT the pipeline
+computes — so a cached epoch must be bit-identical to an uncached one at
+equal seed (same RandomState consumption order, same PRNG keys).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fast3dhpe_tpu.config import config_from_dict
+from fast3dhpe_tpu.data.loader import Stereo3DLoader
+from fast3dhpe_tpu.data.device_cache import DeviceFrameCache
+from fast3dhpe_tpu.data.synthetic import make_synthetic_mads
+from fast3dhpe_tpu.parallel import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mads_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mads_devcache")
+    make_synthetic_mads(str(root), n_frames=10, img_w=128, img_h=96,
+                        nan_joint_every=4)
+    return str(root)
+
+
+def make_cfg(root, batch=4, occl="CUTOUT", device_cache=0):
+    return config_from_dict({
+        "DATASET": {"TYPE": "MADS_3d", "ROOT": root,
+                    "TRAIN_SET": "train", "TEST_SET": "valid",
+                    "FLIP": True, "ROT_FACTOR": 30, "SCALE_FACTOR": 0.25,
+                    "OCCLUSION": occl, "DEVICE_CACHE_BYTES": device_cache},
+        "MODEL": {"NUM_JOINTS": 19, "NUM_LAYERS": 18, "NAME": "t",
+                  "IMAGE_SIZE": [64, 64],
+                  "EXTRA": {"TARGET_TYPE": "gaussian", "SIGMA": 3,
+                            "HEATMAP_SIZE": [16, 16]}},
+        "TRAIN": {"BATCH_SIZE": batch, "EPOCH": 1, "LR": 1e-4,
+                  "LR_STEP": [40], "LR_FACTOR": 0.1, "WARMUP": 0},
+        "TEST": {"BATCH_SIZE": batch},
+        "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSESmooth"},
+    })
+
+
+def _epochs_equal(loader_a, loader_b, n_epochs=2):
+    """Run both loaders for n_epochs and require bit-identical batches."""
+    for ep in range(n_epochs):
+        batches_a = [jax.device_get(b) for b in loader_a]
+        batches_b = [jax.device_get(b) for b in loader_b]
+        assert len(batches_a) == len(batches_b)
+        for ba, bb in zip(batches_a, batches_b):
+            assert set(ba) == set(bb)
+            for k in ba:
+                np.testing.assert_array_equal(
+                    np.asarray(ba[k]), np.asarray(bb[k]),
+                    err_msg=f"epoch {ep} key {k}")
+
+
+class TestCacheCorrectness:
+    def test_cached_train_epoch_bit_identical(self, mads_root):
+        """Train path: randomness (scale/rot draws + occlusion keys) must
+        consume identically, so augmented batches match bit-for-bit."""
+        cfg = make_cfg(mads_root)
+        uncached = Stereo3DLoader(cfg, "train", seed=7)
+        cached = Stereo3DLoader(cfg, "train", seed=7,
+                                device_cache_bytes=1 << 30)
+        _epochs_equal(uncached, cached)
+        assert cached.device_cached
+        assert not uncached.device_cached
+
+    def test_cached_eval_epoch_bit_identical(self, mads_root):
+        cfg = make_cfg(mads_root)
+        uncached = Stereo3DLoader(cfg, "valid", seed=3)
+        cached = Stereo3DLoader(cfg, "valid", seed=3,
+                                device_cache_bytes=1 << 30)
+        _epochs_equal(uncached, cached, n_epochs=1)
+        assert cached.device_cached
+
+    def test_cached_under_mesh_matches_unmeshed(self, mads_root):
+        """Replicated frames + batch-sharded indices: the gathered batch
+        is batch-sharded and numerically identical to single-device."""
+        mesh = make_mesh(4)
+        cfg = make_cfg(mads_root, batch=4)
+        plain = Stereo3DLoader(cfg, "valid", seed=5,
+                               device_cache_bytes=1 << 30)
+        meshed = Stereo3DLoader(cfg, "valid", mesh=mesh, seed=5,
+                                device_cache_bytes=1 << 30)
+        for bp, bm in zip(plain, meshed):
+            for k in bp:
+                # sharded compilation fuses differently -> float-epsilon
+                # differences; tight tolerance, not bit equality
+                np.testing.assert_allclose(np.asarray(bp[k]),
+                                           np.asarray(bm[k]),
+                                           atol=1e-5, err_msg=k)
+            assert bm["image"].sharding.is_fully_replicated is False
+
+
+class TestCacheFallback:
+    def test_over_budget_falls_back_to_host(self, mads_root):
+        cfg = make_cfg(mads_root)
+        loader = Stereo3DLoader(cfg, "train", seed=1,
+                                device_cache_bytes=1024)  # ~one frame row
+        batches = list(loader)
+        assert len(batches) == len(loader)
+        assert not loader.device_cached
+
+    def test_zero_budget_is_off(self, mads_root):
+        cfg = make_cfg(mads_root)
+        loader = Stereo3DLoader(cfg, "train", seed=1)
+        list(loader)
+        assert not loader.device_cached
+
+    def test_config_plumbs_budget(self, mads_root):
+        from fast3dhpe_tpu.data import load_data
+        cfg = make_cfg(mads_root, device_cache=1 << 30)
+        train_loader, _ = load_data(cfg)
+        list(train_loader)
+        assert train_loader.device_cached
+
+
+class TestMonoCacheCorrectness:
+    def _cfg2d(self, root, device_cache=0):
+        cfg = make_cfg(root, occl="None", device_cache=device_cache)
+        cfg.DATASET.TYPE = "MADS_2d"
+        return cfg
+
+    def test_cached_mono_train_epoch_bit_identical(self, mads_root):
+        """Flip runs on device in the cached path (exact mirror) — the
+        cached epoch must still match the uncached device path
+        bit-for-bit (same RandomState consumption, same flips)."""
+        from fast3dhpe_tpu.data.loader import Mono2DLoader
+        cfg = self._cfg2d(mads_root)
+        uncached = Mono2DLoader(cfg, "train", seed=11)
+        cached = Mono2DLoader(cfg, "train", seed=11,
+                              device_cache_bytes=1 << 30)
+        _epochs_equal(uncached, cached)
+        assert cached.device_cached and not uncached.device_cached
+
+    def test_cached_mono_eval_epoch_bit_identical(self, mads_root):
+        from fast3dhpe_tpu.data.loader import Mono2DLoader
+        cfg = self._cfg2d(mads_root)
+        uncached = Mono2DLoader(cfg, "valid", seed=2)
+        cached = Mono2DLoader(cfg, "valid", seed=2,
+                              device_cache_bytes=1 << 30)
+        _epochs_equal(uncached, cached, n_epochs=1)
+
+    def test_host_preprocess_disables_cache(self, mads_root):
+        from fast3dhpe_tpu.data.loader import Mono2DLoader
+        cfg = self._cfg2d(mads_root)
+        loader = Mono2DLoader(cfg, "valid", seed=2,
+                              device_preprocess=False,
+                              device_cache_bytes=1 << 30)
+        list(loader)
+        assert not loader.device_cached
+
+
+class TestCachedStreamEval:
+    def test_evaluate_movement_cached_matches_uncached(self, mads_root):
+        """The cached eval path (on-device gather from resident frames)
+        must reproduce the streaming path's sequence MPJPE."""
+        import os
+        import jax.numpy as jnp
+        from fast3dhpe_tpu.apps.inference import CDRNetInferencer
+        from fast3dhpe_tpu.data.stream import LoadMADSData
+        from fast3dhpe_tpu.models import CDRNet
+
+        cfg = make_cfg(mads_root)
+        model = CDRNet.from_config(cfg)
+        imgs = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+        proj = jnp.broadcast_to(
+            jnp.asarray([[600.0, 0, 32, 0], [0, 600.0, 32, 0],
+                         [0, 0, 1, 3000.0]], jnp.float32), (1, 2, 3, 4))
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), imgs, proj, train=False)
+        inf = CDRNetInferencer(cfg, variables=variables)
+
+        stream = LoadMADSData(os.path.join(mads_root, "valid"),
+                              cfg.MODEL.IMAGE_SIZE, "HipHop")
+        e2_plain, e3_plain = inf.evaluate_movement(stream, batch_size=4)
+        e2_cached, e3_cached = inf.evaluate_movement(
+            stream, batch_size=4, device_cache_bytes=1 << 30)
+        assert stream._device_cache is not None
+        np.testing.assert_allclose(e2_cached, e2_plain, rtol=1e-5)
+        np.testing.assert_allclose(e3_cached, e3_plain, rtol=1e-5)
+
+    def test_cache_fallback_over_budget(self, mads_root):
+        import os
+        from fast3dhpe_tpu.data.stream import LoadMADSData
+        stream = LoadMADSData(os.path.join(mads_root, "valid"),
+                              (64, 64), "HipHop")
+        batches = list(stream.batches(4, device_warp=True,
+                                      device_cache_bytes=100))
+        assert all("img_l" in b for b in batches)   # streamed, not cached
+
+
+class TestDeviceFrameCacheUnit:
+    def test_rows_and_dedup(self, mads_root):
+        from fast3dhpe_tpu.data.mads import build_mads_stereo_index
+        recs = build_mads_stereo_index(mads_root, "valid")
+        paths = [r["image_left"] for r in recs] * 2   # duplicates collapse
+        from fast3dhpe_tpu.data.loader import _imread
+
+        def decode(ps):
+            return [_imread(p) for p in ps]
+
+        cache = DeviceFrameCache.build(paths, decode, 1 << 30,
+                                       chunk_frames=3)
+        assert cache is not None
+        assert cache.frames.shape[0] == len(recs)     # deduplicated
+        rows = cache.rows([recs[2]["image_left"], recs[0]["image_left"]])
+        got = np.asarray(cache.frames)[rows]
+        np.testing.assert_array_equal(got[0], _imread(recs[2]["image_left"]))
+        np.testing.assert_array_equal(got[1], _imread(recs[0]["image_left"]))
+
+    def test_none_when_over_budget(self, mads_root):
+        from fast3dhpe_tpu.data.mads import build_mads_stereo_index
+        from fast3dhpe_tpu.data.loader import _imread
+        recs = build_mads_stereo_index(mads_root, "valid")
+
+        def decode(ps):
+            return [_imread(p) for p in ps]
+
+        assert DeviceFrameCache.build(
+            [r["image_left"] for r in recs], decode, 100) is None

@@ -90,3 +90,36 @@ class TestMPII:
         batches = list(loader)
         assert len(batches) == 2
         assert np.isfinite(np.asarray(batches[0]["image"])).all()
+
+    def test_device_preprocess_is_default(self, mpii_root):
+        cfg = mpii_cfg(mpii_root)
+        loader = Mono2DLoader(cfg, "valid")
+        assert loader.device_preprocess is True
+        assert loader.pad_bucket == 128
+
+    @pytest.mark.parametrize("image_set", ["valid", "train"])
+    def test_device_vs_host_preprocess_parity(self, mpii_root, image_set):
+        """MPII's variable-size frames, zero-padded to a bucketed batch
+        max and warped on device, must match the reference-exact host-cv2
+        path: targets/weights exactly (identical host joint math), images
+        to warp tolerance. Zero padding == cv2 BORDER_CONSTANT, so size
+        variation cannot leak into the crop."""
+        cfg = mpii_cfg(mpii_root)
+        l_dev = Mono2DLoader(cfg, image_set, seed=9)
+        l_host = Mono2DLoader(cfg, image_set, seed=9,
+                              device_preprocess=False)
+        n = 0
+        for bd, bh in zip(l_dev, l_host):
+            np.testing.assert_allclose(np.asarray(bd["target"]),
+                                       np.asarray(bh["target"]),
+                                       atol=1e-5)
+            np.testing.assert_array_equal(
+                np.asarray(bd["target_weight"]),
+                np.asarray(bh["target_weight"]))
+            di, hi = np.asarray(bd["image"]), np.asarray(bh["image"])
+            assert di.shape == hi.shape
+            # 1 uint8 LSB in normalized units ~ 1/(255*0.225) = 0.0174
+            assert np.abs(di - hi).mean() < 0.01
+            assert np.abs(di - hi).max() < 0.15
+            n += 1
+        assert n == len(l_dev)

@@ -69,8 +69,9 @@ class TestFusedBottleneck:
                        jnp.asarray(r.randn(C) * 0.1, jnp.float32),
                        jnp.asarray(r.rand(C) + 0.5, jnp.float32))
 
+    @pytest.mark.parametrize("conv2_mode", ["taps", "xpack"])
     @pytest.mark.parametrize("ds", [True, False])
-    def test_kernel_matches_xla_reference(self, ds):
+    def test_kernel_matches_xla_reference(self, ds, conv2_mode):
         from fast3dhpe_tpu.ops.pallas_bottleneck import (
             fused_bottleneck, bottleneck_reference)
         r = np.random.RandomState(0)
@@ -92,7 +93,7 @@ class TestFusedBottleneck:
             x, w1, s1, b1, w2, s2, b2, w3, s3, b3, wd, sd, bd))
         got = np.asarray(fused_bottleneck(
             x, w1, s1, b1, w2, s2, b2, w3, s3, b3, wd, sd, bd,
-            samples_per_cell=2, interpret=True))
+            samples_per_cell=2, interpret=True, conv2_mode=conv2_mode))
         np.testing.assert_allclose(got, ref, atol=1e-4)
 
     @pytest.mark.slow
