@@ -101,11 +101,35 @@ class CDRNetInferencer:
             return (tot2 + jnp.sum(e2 * m), tot3 + jnp.sum(e3 * m),
                     n + jnp.asarray(k, jnp.float32))
 
+        @jax.jit
+        def _eval_movement_scan(variables, frames, idx_l, idx_r, trans,
+                                proj, pose_3d, vis, n_valid):
+            # the WHOLE movement as one dispatch: with frames resident in
+            # HBM and all per-batch metadata stacked up front, a
+            # lax.scan over the batches leaves nothing per-step on the
+            # host — the per-batch dispatch+upload RPCs (~20 ms each on
+            # this relay) otherwise cap the loop 10x below the step rate.
+            # Args idx_*: (S, B); trans (S, B, 2, 3); proj (S, B, 2, 3, 4);
+            # pose_3d (S, B, J, 3); vis (S, B, J); n_valid (S,).
+            def body(carry, xs):
+                t2, t3, n = carry
+                il, ir, tr, pj, ps, vs, k = xs
+                e2, e3 = _predict_eval_cached(variables, frames, il, ir,
+                                              tr, pj, ps, vs)
+                return _accum_eval(t2, t3, n, e2, e3, k), ()
+
+            zero = jnp.zeros((), jnp.float32)
+            (t2, t3, n), _ = jax.lax.scan(
+                body, (zero, zero, zero),
+                (idx_l, idx_r, trans, proj, pose_3d, vis, n_valid))
+            return t2, t3, n
+
         self._predict = _predict
         self._predict_raw = _predict_raw
         self._predict_eval = _predict_eval
         self._predict_eval_cached = _predict_eval_cached
         self._accum_eval = _accum_eval
+        self._eval_movement_scan = _eval_movement_scan
 
     def predict_batch(self, img_l, img_r, proj, trans=None):
         """uint8 frames (B, H, W, 3) x2 + proj (B, 2, 3, 4) ->
@@ -129,8 +153,31 @@ class CDRNetInferencer:
         Sums accumulate ON DEVICE and the host fetches once at the end —
         a per-batch fetch would serialize the relay's ~20 ms RPC into
         every batch. With device_cache_bytes > 0 the movement's frames
-        are resident in HBM and each batch is gathered by index (the loop
-        then moves no frame bytes at all)."""
+        are resident in HBM and the WHOLE movement runs as a single
+        lax.scan dispatch (stacked per-batch metadata, on-device index
+        gather) — measured on this relay, even zero-sync per-batch
+        dispatch left the loop 10x under the step rate on per-batch
+        upload RPCs alone."""
+        if device_cache_bytes:
+            cache = stream.build_device_cache(device_cache_bytes)
+            if cache is not None:
+                batches = list(stream._cached_batches(batch_size, cache))
+                poses = np.stack([b["pose_3d"] for b in batches])
+                vis = np.logical_and.reduce(
+                    ~np.isnan(poses), axis=3).astype(np.float32)
+                poses = np.nan_to_num(poses).astype(np.float32)
+                t2, t3, nn = jax.device_get(self._eval_movement_scan(
+                    self.variables, cache.frames,
+                    np.stack([b["idx_l"] for b in batches]),
+                    np.stack([b["idx_r"] for b in batches]),
+                    np.stack([b["trans"] for b in batches]),
+                    np.stack([b["proj"] for b in batches]).astype(
+                        np.float32),
+                    poses, vis,
+                    np.asarray([b["n_valid"] for b in batches],
+                               np.float32)))
+                return (float(t2) / max(float(nn), 1.0),
+                        float(t3) / max(float(nn), 1.0))
         tot2 = tot3 = n = jnp.zeros((), jnp.float32)
         identity = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
         for batch in stream.batches(batch_size, device_warp=True,

@@ -350,6 +350,42 @@ class Stereo3DLoader:
         of iteration with DEVICE_CACHE_BYTES set)."""
         return self._device_cache is not None
 
+    def stacked_epoch(self):
+        """One epoch's batches as STACKED host arrays for the scan-epoch
+        train/eval path (whole epoch = one dispatch; see
+        train/steps.make_train_epoch_cdr). Requires the device cache.
+
+        Returns (cache, xs, epoch_index) where xs maps each batch key to
+        a (S, B, ...) numpy array: idx_l/idx_r (S, B) int32, trans
+        (S, B, 2, 3), P_l/P_r (S, B, 4, 4), pose_3d (S, B, J, 3),
+        joints_vis (S, B, J), row_valid (S, B). Consumes the SAME
+        RandomState sequence as one __iter__ epoch, so alternating
+        stacked and per-batch epochs keeps the augmentation schedule.
+        Occlusion PRNG differs from the per-batch path (fold_in(step)
+        instead of a sequential split chain — a chain would cost one
+        relay RPC per step, which is exactly what this path removes).
+        """
+        cache = self._ensure_device_cache()
+        if cache is None:
+            raise RuntimeError(
+                "stacked_epoch requires the device frame cache "
+                "(DEVICE_CACHE_BYTES) — use iteration for streaming")
+        rng = np.random.RandomState(self.seed + self._epoch)
+        epoch_index = self._epoch
+        self._epoch += 1
+        hw = cache.frames.shape[1:3]
+        cols = {k: [] for k in ("idx_l", "idx_r", "trans", "P_l", "P_r",
+                                "pose_3d", "joints_vis", "row_valid")}
+        for n_valid, recs in self._epoch_rec_batches(rng):
+            hb = self._meta_arrays(recs, rng, [hw] * len(recs))
+            hb["idx_l"] = cache.rows([r["image_left"] for r in recs])
+            hb["idx_r"] = cache.rows([r["image_right"] for r in recs])
+            hb["row_valid"] = _row_mask(n_valid, self.batch_size)
+            for k in cols:
+                cols[k].append(hb[k])
+        xs = {k: np.stack(v) for k, v in cols.items()}
+        return cache, xs, epoch_index
+
     def __iter__(self):
         rng = np.random.RandomState(self.seed + self._epoch)
         key = jax.random.PRNGKey(self.seed * 10007 + self._epoch)
@@ -616,6 +652,39 @@ class Mono2DLoader:
     @property
     def device_cached(self) -> bool:
         return self._device_cache is not None
+
+    def stacked_epoch(self):
+        """One epoch as STACKED host arrays for the scan-epoch 2D path
+        (train/steps.make_train_epoch_2d); requires the device cache.
+        Returns (cache, xs, epoch_index) with xs keys idx (S, B) int32,
+        flip (S, B) bool, trans (S, B, 2, 3), joints (S, B, J, 2),
+        vis (S, B, J), row_valid (S, B). Consumes the same RandomState
+        sequence as one __iter__ epoch."""
+        cache = self._ensure_device_cache()
+        if cache is None:
+            raise RuntimeError(
+                "stacked_epoch requires the device frame cache "
+                "(DEVICE_CACHE_BYTES) — use iteration for streaming")
+        rng = np.random.RandomState(self.seed + self._epoch)
+        epoch_index = self._epoch
+        self._epoch += 1
+        hw = (int(cache.frames.shape[1]), int(cache.frames.shape[2]))
+        cols = {k: [] for k in ("idx", "flip", "trans", "joints", "vis",
+                                "row_valid")}
+        for n_valid, recs in self._epoch_rec_batches(rng):
+            augs = self._draw_augs(rng, recs)
+            samples = [self._prepare_sample(rec, aug, None, hw=hw)
+                       for rec, aug in zip(recs, augs)]
+            cols["idx"].append(cache.rows([r["image"] for r in recs]))
+            cols["flip"].append(np.asarray([s[4] for s in samples], bool))
+            cols["trans"].append(np.stack([s[1] for s in samples]))
+            cols["joints"].append(
+                np.stack([s[2] for s in samples]).astype(np.float32))
+            cols["vis"].append(
+                np.stack([s[3] for s in samples]).astype(np.float32))
+            cols["row_valid"].append(_row_mask(n_valid, self.batch_size))
+        xs = {k: np.stack(v) for k, v in cols.items()}
+        return cache, xs, epoch_index
 
     def __iter__(self):
         rng = np.random.RandomState(self.seed + self._epoch)

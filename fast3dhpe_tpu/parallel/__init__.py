@@ -12,6 +12,7 @@ from .mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    shard_stacked,
     replicate,
     local_mesh_devices,
 )

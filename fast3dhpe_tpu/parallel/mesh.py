@@ -78,6 +78,14 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_stacked(mesh: Mesh, tree):
+    """Place (S, B, ...) stacked-epoch arrays (scan axis first) on the
+    mesh with the BATCH axis (axis 1) sharded over "data"."""
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (e.g. params) across the mesh."""
     sharding = replicated_sharding(mesh)

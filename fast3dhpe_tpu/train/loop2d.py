@@ -31,7 +31,8 @@ from ..models import PoseResNet, make_loss
 from ..models.metrics import pck_from_counts
 from ..data import load_data
 from .state import TrainState, make_optimizer, multistep_lr
-from .steps import make_train_step_2d, make_eval_step_2d
+from .steps import (make_train_step_2d, make_eval_step_2d,
+                    make_train_epoch_2d, make_eval_epoch_2d)
 from .checkpoint import (save_checkpoint, load_variables,
                          merge_encoder_only, restore_checkpoint_compat)
 from ..utils.logging import setup_logger
@@ -98,8 +99,12 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         max_steps_per_epoch: Optional[int] = None, seed: int = 0,
         compute_dtype: str = "float32", plot_dir: Optional[str] = None,
         resume: bool = False, log_every: Optional[int] = None,
-        trace_dir: Optional[str] = None) -> Dict:
+        trace_dir: Optional[str] = None,
+        scan_epochs: Optional[bool] = None) -> Dict:
     """Train PoseResNet; returns a history dict (losses/accs per epoch).
+
+    scan_epochs: run each epoch as one lax.scan dispatch when the device
+    frame cache holds the dataset (see loop_cdr.run).
 
     compute_dtype: "float32" or "bfloat16" (params/BN stats stay fp32).
     plot_dir: if set, write loss/accuracy curves there after training
@@ -158,6 +163,34 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     train_step = make_train_step_2d(model, loss_fn)
     eval_step = make_eval_step_2d(model, loss_fn)
 
+    # scan-epoch path: whole epoch as one dispatch when the dataset's
+    # frames are resident in HBM (see loop_cdr.run docstring)
+    scan_allowed = (scan_epochs is not False and log_every is None
+                    and trace_dir is None)
+    train_epoch_fn = eval_epoch_fn = None
+    if scan_allowed and (scan_epochs
+                         or config.DATASET.DEVICE_CACHE_BYTES):
+        train_epoch_fn = make_train_epoch_2d(
+            model, loss_fn, config.MODEL.IMAGE_SIZE,
+            config.MODEL.EXTRA.HEATMAP_SIZE, config.MODEL.EXTRA.SIGMA)
+        eval_epoch_fn = make_eval_epoch_2d(
+            model, loss_fn, config.MODEL.IMAGE_SIZE,
+            config.MODEL.EXTRA.HEATMAP_SIZE, config.MODEL.EXTRA.SIGMA)
+
+    def _try_stacked(loader):
+        if train_epoch_fn is None or \
+                loader._ensure_device_cache() is None:
+            return None
+        cache, xs, ep_idx = loader.stacked_epoch()
+        if max_steps_per_epoch is not None:
+            xs = {k: v[:max_steps_per_epoch] for k, v in xs.items()}
+        n_steps = xs["idx"].shape[0]
+        n_valid = int(xs["row_valid"].sum())
+        if mesh is not None:
+            from ..parallel import shard_stacked
+            xs = shard_stacked(mesh, xs)
+        return cache, xs, n_steps, n_valid, ep_idx
+
     n_epochs = max_epochs if max_epochs is not None else config.TRAIN.EPOCH
     history = {"train_loss": [], "val_loss": [], "train_acc": [],
                "val_acc": [], "train_imgs_per_sec": []}
@@ -169,53 +202,79 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         with interruptible():   # SIGTERM -> KeyboardInterrupt
             for epoch in range(start_epoch, n_epochs):
                 t0 = time.time()
-                acc_tree, n, pending = None, 0, 0
                 meter.reset()
                 meter.start()
-                for i, batch in enumerate(train_loader):
-                    if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                        break
-                    state, m = train_step(state, batch)
-                    acc_tree = m if acc_tree is None else _tree_add(acc_tree, m)
-                    n += 1
-                    global_step += 1
-                    pending += batch["image"].shape[0]
-                    tracer.maybe(i, m)
-                    if log_every and (i + 1) % log_every == 0:
-                        mm = jax.device_get(m)          # the only mid-epoch sync
-                        # record throughput only across true sync points:
-                        # per-step host timing measures dispatch, not
-                        # compute, on this platform (CLAUDE.md)
-                        meter.step(pending)
-                        pending = 0
-                        logger.info(
-                            "  step %d/%d loss %.5f acc %.4f |grad| %.2f "
-                            "lr %.2e  %.1f imgs/s", i + 1, steps_per_epoch,
-                            float(mm["loss"]), float(mm["acc"]),
-                            float(mm["grad_norm"]), float(schedule(global_step)),
-                            meter.samples_per_sec)
-                tracer.finish(m if n else None)
-                tr = (jax.device_get(acc_tree) if acc_tree is not None
-                      else {"loss": 0.0, "acc": 0.0})
-                if pending:         # the device_get above was a real sync
+                stacked = _try_stacked(train_loader)
+                if stacked is not None:
+                    # scan-epoch: the whole epoch is one dispatch
+                    cache, xs, n, pending, _ = stacked
+                    state, ms = train_epoch_fn(state, cache.frames, xs)
+                    tr = jax.device_get(ms)
+                    global_step += n
                     meter.step(pending)
+                else:
+                    acc_tree, n, pending = None, 0, 0
+                    for i, batch in enumerate(train_loader):
+                        if max_steps_per_epoch is not None and \
+                                i >= max_steps_per_epoch:
+                            break
+                        state, m = train_step(state, batch)
+                        acc_tree = (m if acc_tree is None
+                                    else _tree_add(acc_tree, m))
+                        n += 1
+                        global_step += 1
+                        pending += batch["image"].shape[0]
+                        tracer.maybe(i, m)
+                        if log_every and (i + 1) % log_every == 0:
+                            mm = jax.device_get(m)  # the only mid-epoch sync
+                            # record throughput only across true sync
+                            # points: per-step host timing measures
+                            # dispatch, not compute, here (CLAUDE.md)
+                            meter.step(pending)
+                            pending = 0
+                            logger.info(
+                                "  step %d/%d loss %.5f acc %.4f "
+                                "|grad| %.2f lr %.2e  %.1f imgs/s",
+                                i + 1, steps_per_epoch,
+                                float(mm["loss"]), float(mm["acc"]),
+                                float(mm["grad_norm"]),
+                                float(schedule(global_step)),
+                                meter.samples_per_sec)
+                    tracer.finish(m if n else None)
+                    tr = (jax.device_get(acc_tree) if acc_tree is not None
+                          else {"loss": 0.0, "acc": 0.0})
+                    if pending:     # the device_get above was a real sync
+                        meter.step(pending)
                 tl, ta = float(tr["loss"]) / max(n, 1), float(tr["acc"]) / max(n, 1)
                 train_ips = meter.samples_per_sec
 
-                ev_acc = None
-                for i, batch in enumerate(valid_loader):
-                    if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                        break
-                    m = eval_step(state, batch)
-                    part = {"loss_sum": m["loss_sum"], "hits": m["hits"],
-                            "cnt": m["cnt"], "n": m["n"]}
-                    ev_acc = part if ev_acc is None else _tree_add(ev_acc, part)
-                if ev_acc is not None:
-                    ev = jax.device_get(ev_acc)
+                ev_stacked = _try_stacked(valid_loader)
+                if ev_stacked is not None:
+                    vcache, vxs, _, _, _ = ev_stacked
+                    ev = jax.device_get(
+                        eval_epoch_fn(state, vcache.frames, vxs))
                     vl = float(ev["loss_sum"]) / max(float(ev["n"]), 1.0)
                     va = float(pck_from_counts(ev["hits"], ev["cnt"])[0])
                 else:
-                    vl, va = 0.0, 0.0
+                    ev_acc = None
+                    for i, batch in enumerate(valid_loader):
+                        if max_steps_per_epoch is not None and \
+                                i >= max_steps_per_epoch:
+                            break
+                        m = eval_step(state, batch)
+                        part = {"loss_sum": m["loss_sum"],
+                                "hits": m["hits"],
+                                "cnt": m["cnt"], "n": m["n"]}
+                        ev_acc = (part if ev_acc is None
+                                  else _tree_add(ev_acc, part))
+                    if ev_acc is not None:
+                        ev = jax.device_get(ev_acc)
+                        vl = float(ev["loss_sum"]) / max(float(ev["n"]),
+                                                         1.0)
+                        va = float(pck_from_counts(ev["hits"],
+                                                   ev["cnt"])[0])
+                    else:
+                        vl, va = 0.0, 0.0
 
                 history["train_loss"].append(tl)
                 history["val_loss"].append(vl)

@@ -28,7 +28,8 @@ from ..config import Config
 from ..models import CDRNet, make_loss
 from ..data import load_data
 from .state import TrainState, make_optimizer, multistep_lr
-from .steps import make_train_step_cdr, make_eval_step_cdr
+from .steps import (make_train_step_cdr, make_eval_step_cdr,
+                    make_train_epoch_cdr, make_eval_epoch_cdr)
 from .checkpoint import (save_checkpoint, load_variables,
                          merge_encoder_only)
 from .loop2d import _prepare_model_dir, _state_tree, _tree_add, _restore_state
@@ -45,7 +46,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         max_steps_per_epoch: Optional[int] = None, seed: int = 0,
         compute_dtype: str = "float32", plot_dir: Optional[str] = None,
         resume: bool = False, log_every: Optional[int] = None,
-        trace_dir: Optional[str] = None) -> Dict:
+        trace_dir: Optional[str] = None,
+        scan_epochs: Optional[bool] = None) -> Dict:
     """Train CDRNet; returns history (losses + val MPJPE per epoch).
 
     compute_dtype: "float32" or "bfloat16" (params/BN stats stay fp32).
@@ -56,6 +58,11 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     N steps (reference parity: the pbar [ref: train_cdr.py:129-141]).
     trace_dir: if set, capture a jax.profiler device trace of a few
     early steady-state steps there (view with xprof/tensorboard).
+    scan_epochs: run each epoch as ONE lax.scan dispatch when the
+    device frame cache holds the dataset (steps.make_train_epoch_cdr) —
+    removes all per-batch host work. Default (None): auto-enable when
+    the cache engages and no per-step hooks (log_every/trace_dir) are
+    requested; False forces the per-batch loop.
     """
     logger = setup_logger()
     model_path = os.path.join(weights_root, config.MODEL.NAME)
@@ -114,6 +121,37 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                                    scale_3d=SCALE_3D, base_joint=BASE_JOINT,
                                    num_joints=nj)
 
+    # scan-epoch path: whole epoch as one dispatch when the dataset's
+    # frames are resident in HBM (auto; see docstring)
+    scan_allowed = (scan_epochs is not False and log_every is None
+                    and trace_dir is None)
+    train_epoch_fn = eval_epoch_fn = None
+    if scan_allowed and (scan_epochs
+                         or config.DATASET.DEVICE_CACHE_BYTES):
+        image_size = tuple(config.MODEL.IMAGE_SIZE)
+        train_epoch_fn = make_train_epoch_cdr(
+            model, loss_fn, image_size,
+            occlusion=config.DATASET.OCCLUSION, loss_3d_weight=w3d,
+            scale_3d=SCALE_3D, base_joint=BASE_JOINT, num_joints=nj)
+        eval_epoch_fn = make_eval_epoch_cdr(
+            model, loss_fn, image_size, loss_3d_weight=w3d,
+            scale_3d=SCALE_3D, base_joint=BASE_JOINT, num_joints=nj)
+
+    def _try_stacked(loader):
+        """(cache, xs, n_steps, n_valid_pairs, epoch_idx) when the cache
+        engages, else None (fall back to the streaming per-batch loop)."""
+        if train_epoch_fn is None or loader._ensure_device_cache() is None:
+            return None
+        cache, xs, ep_idx = loader.stacked_epoch()
+        if max_steps_per_epoch is not None:
+            xs = {k: v[:max_steps_per_epoch] for k, v in xs.items()}
+        n_steps = xs["idx_l"].shape[0]
+        n_valid = int(xs["row_valid"].sum())
+        if mesh is not None:
+            from ..parallel import shard_stacked
+            xs = shard_stacked(mesh, xs)
+        return cache, xs, n_steps, n_valid, ep_idx
+
     n_epochs = max_epochs if max_epochs is not None else config.TRAIN.EPOCH
     warmup = config.TRAIN.WARMUP
     history = {"train_loss": [], "val_loss": [], "val_mpjpe_3d": [],
@@ -129,56 +167,86 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                 t0 = time.time()
                 use_3d = jnp.asarray(epoch >= warmup)
 
-                acc_tree, n, pending = None, 0, 0
                 meter.reset()
                 meter.start()
-                for i, batch in enumerate(train_loader):
-                    if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                        break
-                    state, m = train_step(state, batch, use_3d)
-                    acc_tree = m if acc_tree is None else _tree_add(acc_tree, m)
-                    n += 1
-                    global_step += 1
-                    pending += batch["image"].shape[0]
-                    tracer.maybe(i, m)
-                    if log_every and (i + 1) % log_every == 0:
-                        mm = jax.device_get(m)          # the only mid-epoch sync
-                        # record throughput only across true sync points:
-                        # per-step host timing measures dispatch, not
-                        # compute, on this platform (CLAUDE.md)
-                        meter.step(pending)
-                        pending = 0
-                        logger.info(
-                            "  step %d/%d loss %.5f (2d %.5f 3d %.5f) |grad| %.2f "
-                            "lr %.2e  %.1f pairs/s", i + 1, steps_per_epoch,
-                            float(mm["loss"]), float(mm["loss_2d"]),
-                            float(mm["loss_3d"]), float(mm["grad_norm"]),
-                            float(schedule(global_step)), meter.samples_per_sec)
-                tracer.finish(m if n else None)
-                tr = (jax.device_get(acc_tree) if acc_tree is not None
-                      else {"loss": 0.0, "grad_norm": 0.0})
-                if pending:         # the device_get above was a real sync
+                stacked = _try_stacked(train_loader)
+                if stacked is not None:
+                    # scan-epoch: the whole epoch is one dispatch
+                    cache, xs, n, pending, ep_idx = stacked
+                    epoch_key = jax.random.PRNGKey(seed * 10007 + ep_idx)
+                    state, ms = train_epoch_fn(state, cache.frames, xs,
+                                               epoch_key, use_3d)
+                    tr = jax.device_get(ms)
+                    global_step += n
                     meter.step(pending)
+                else:
+                    acc_tree, n, pending = None, 0, 0
+                    for i, batch in enumerate(train_loader):
+                        if max_steps_per_epoch is not None and \
+                                i >= max_steps_per_epoch:
+                            break
+                        state, m = train_step(state, batch, use_3d)
+                        acc_tree = (m if acc_tree is None
+                                    else _tree_add(acc_tree, m))
+                        n += 1
+                        global_step += 1
+                        pending += batch["image"].shape[0]
+                        tracer.maybe(i, m)
+                        if log_every and (i + 1) % log_every == 0:
+                            mm = jax.device_get(m)  # the only mid-epoch sync
+                            # record throughput only across true sync
+                            # points: per-step host timing measures
+                            # dispatch, not compute, on this platform
+                            # (CLAUDE.md)
+                            meter.step(pending)
+                            pending = 0
+                            logger.info(
+                                "  step %d/%d loss %.5f (2d %.5f 3d %.5f) "
+                                "|grad| %.2f lr %.2e  %.1f pairs/s",
+                                i + 1, steps_per_epoch,
+                                float(mm["loss"]), float(mm["loss_2d"]),
+                                float(mm["loss_3d"]),
+                                float(mm["grad_norm"]),
+                                float(schedule(global_step)),
+                                meter.samples_per_sec)
+                    tracer.finish(m if n else None)
+                    tr = (jax.device_get(acc_tree) if acc_tree is not None
+                          else {"loss": 0.0, "grad_norm": 0.0})
+                    if pending:     # the device_get above was a real sync
+                        meter.step(pending)
                 tl = float(tr["loss"]) / max(n, 1)
                 gn = float(tr["grad_norm"]) / max(n, 1)
                 train_pps = meter.samples_per_sec
 
-                ev_acc = None
-                for i, batch in enumerate(valid_loader):
-                    if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                        break
-                    m = eval_step(state, batch, use_3d)
-                    part = {"loss_sum": m["loss_sum"], "e2_sum": m["e2_sum"],
-                            "e3_sum": m["e3_sum"], "n": m["n"]}
-                    ev_acc = part if ev_acc is None else _tree_add(ev_acc, part)
-                if ev_acc is not None:
-                    ev = jax.device_get(ev_acc)
+                ev_stacked = _try_stacked(valid_loader)
+                if ev_stacked is not None:
+                    vcache, vxs, _, _, _ = ev_stacked
+                    ev = jax.device_get(
+                        eval_epoch_fn(state, vcache.frames, vxs, use_3d))
                     nv = max(float(ev["n"]), 1.0)
                     vl = float(ev["loss_sum"]) / nv
                     e2 = float(ev["e2_sum"]) / nv
                     e3 = float(ev["e3_sum"]) / nv
                 else:
-                    vl, e2, e3 = 0.0, 0.0, 0.0
+                    ev_acc = None
+                    for i, batch in enumerate(valid_loader):
+                        if max_steps_per_epoch is not None and \
+                                i >= max_steps_per_epoch:
+                            break
+                        m = eval_step(state, batch, use_3d)
+                        part = {"loss_sum": m["loss_sum"],
+                                "e2_sum": m["e2_sum"],
+                                "e3_sum": m["e3_sum"], "n": m["n"]}
+                        ev_acc = (part if ev_acc is None
+                                  else _tree_add(ev_acc, part))
+                    if ev_acc is not None:
+                        ev = jax.device_get(ev_acc)
+                        nv = max(float(ev["n"]), 1.0)
+                        vl = float(ev["loss_sum"]) / nv
+                        e2 = float(ev["e2_sum"]) / nv
+                        e3 = float(ev["e3_sum"]) / nv
+                    else:
+                        vl, e2, e3 = 0.0, 0.0, 0.0
 
                 history["train_loss"].append(tl)
                 history["val_loss"].append(vl)

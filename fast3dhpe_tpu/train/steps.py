@@ -99,6 +99,65 @@ def make_eval_step_2d(model, loss_fn) -> Callable:
     return eval_step
 
 
+def make_train_epoch_2d(model, loss_fn, image_size, heatmap_size,
+                        sigma: int = 3) -> Callable:
+    """Whole-epoch 2D training as one jitted lax.scan dispatch (see
+    make_train_epoch_cdr for the rationale); batches gather from the
+    device-resident frame cache and flip on device.
+
+    epoch(state, frames, xs) -> (state, summed_metrics); xs from
+    Mono2DLoader.stacked_epoch.
+    """
+    from ..data.device_pipeline import preprocess_mono_batch_cached
+    step = make_train_step_2d(model, loss_fn)
+    image_size = tuple(image_size)
+    heatmap_size = tuple(heatmap_size)
+
+    @jax.jit
+    def epoch(state: TrainState, frames, xs):
+        def body(st, x):
+            batch = preprocess_mono_batch_cached(
+                frames, x["idx"], x["flip"], x["trans"], x["joints"],
+                x["vis"], image_size=image_size,
+                heatmap_size=heatmap_size, sigma=sigma)
+            batch["row_valid"] = x["row_valid"]
+            return step(st, batch)
+
+        state, ms = jax.lax.scan(body, state, xs)
+        return state, jax.tree_util.tree_map(
+            lambda v: jnp.sum(v, axis=0), ms)
+
+    return epoch
+
+
+def make_eval_epoch_2d(model, loss_fn, image_size, heatmap_size,
+                       sigma: int = 3) -> Callable:
+    """Whole-epoch 2D evaluation as one dispatch; returns the summed
+    accumulatable stats (loss_sum/hits/cnt/n)."""
+    from ..data.device_pipeline import preprocess_mono_batch_cached
+    step = make_eval_step_2d(model, loss_fn)
+    image_size = tuple(image_size)
+    heatmap_size = tuple(heatmap_size)
+
+    @jax.jit
+    def epoch(state: TrainState, frames, xs):
+        def body(carry, x):
+            batch = preprocess_mono_batch_cached(
+                frames, x["idx"], x["flip"], x["trans"], x["joints"],
+                x["vis"], image_size=image_size,
+                heatmap_size=heatmap_size, sigma=sigma)
+            batch["row_valid"] = x["row_valid"]
+            m = step(state, batch)
+            part = {"loss_sum": m["loss_sum"], "hits": m["hits"],
+                    "cnt": m["cnt"], "n": m["n"]}
+            return carry, part
+
+        _, ms = jax.lax.scan(body, 0, xs)
+        return jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0), ms)
+
+    return epoch
+
+
 def _cdr_loss(model, loss_fn, params, batch_stats, batch, use_3d,
               loss_3d_weight, scale_3d, base_joint, num_joints, train):
     """Shared CDR loss: 2D-only during warmup, 4*3D + 2D after.
@@ -190,6 +249,84 @@ def make_train_step_cdr(model, loss_fn, loss_3d_weight: float = 4.0,
         return new_state, metrics
 
     return train_step
+
+
+def make_train_epoch_cdr(model, loss_fn, image_size, occlusion=None,
+                         **step_kwargs) -> Callable:
+    """Whole-epoch CDR training as ONE jitted dispatch (scan-epoch path).
+
+    With the dataset's frames resident in device HBM
+    (data/device_cache.py) and an epoch's per-batch metadata stacked
+    host-side (Stereo3DLoader.stacked_epoch), the entire epoch —
+    on-device batch gather + preprocessing + S train steps — runs under
+    a single lax.scan. Per-epoch host cost collapses to one upload of a
+    few small arrays + one dispatch + one metric fetch; on the dev
+    relay, the per-batch dispatch/upload RPCs otherwise capped the loop
+    5x under the compiled step rate (docs/PERFORMANCE.md round 3).
+
+    Per-step occlusion PRNG keys derive as fold_in(epoch_key, step).
+
+    epoch(state, frames, xs, epoch_key, use_3d) -> (state, summed_metrics)
+      xs: dict of (S, B, ...) arrays from stacked_epoch;
+      summed_metrics: per-step metric tree summed over the scan (divide
+      by S for means, matching the per-step loop's accumulation).
+    """
+    from ..data.device_pipeline import preprocess_stereo_batch_cached
+    step = make_train_step_cdr(model, loss_fn, **step_kwargs)
+    image_size = tuple(image_size)
+
+    @jax.jit
+    def epoch(state: TrainState, frames, xs, epoch_key, use_3d):
+        S = xs["idx_l"].shape[0]
+
+        def body(carry, x):
+            st, i = carry
+            key = jax.random.fold_in(epoch_key, i)
+            batch = preprocess_stereo_batch_cached(
+                key, frames, x["idx_l"], x["idx_r"], x["trans"],
+                x["P_l"], x["P_r"], x["pose_3d"], x["joints_vis"],
+                image_size=image_size, occlusion=occlusion, train=True)
+            batch["row_valid"] = x["row_valid"]
+            st, m = step(st, batch, use_3d)
+            return (st, i + 1), m
+
+        (state, _), ms = jax.lax.scan(body, (state, jnp.asarray(0)), xs,
+                                      length=S)
+        return state, jax.tree_util.tree_map(
+            lambda v: jnp.sum(v, axis=0), ms)
+
+    return epoch
+
+
+def make_eval_epoch_cdr(model, loss_fn, image_size,
+                        **step_kwargs) -> Callable:
+    """Whole-epoch CDR evaluation as one dispatch (see
+    make_train_epoch_cdr). Returns the accumulatable sums
+    (loss_sum/e2_sum/e3_sum/n) summed over the scan — per-FRAME-exact
+    epoch metrics with padding excluded."""
+    from ..data.device_pipeline import preprocess_stereo_batch_cached
+    step = make_eval_step_cdr(model, loss_fn, **step_kwargs)
+    image_size = tuple(image_size)
+
+    @jax.jit
+    def epoch(state: TrainState, frames, xs, use_3d):
+        dummy_key = jax.random.PRNGKey(0)    # eval: no occlusion draws
+
+        def body(carry, x):
+            batch = preprocess_stereo_batch_cached(
+                dummy_key, frames, x["idx_l"], x["idx_r"], x["trans"],
+                x["P_l"], x["P_r"], x["pose_3d"], x["joints_vis"],
+                image_size=image_size, occlusion=None, train=False)
+            batch["row_valid"] = x["row_valid"]
+            m = step(state, batch, use_3d)
+            part = {"loss_sum": m["loss_sum"], "e2_sum": m["e2_sum"],
+                    "e3_sum": m["e3_sum"], "n": m["n"]}
+            return carry, part
+
+        _, ms = jax.lax.scan(body, 0, xs)
+        return jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0), ms)
+
+    return epoch
 
 
 def make_eval_step_cdr(model, loss_fn, loss_3d_weight: float = 4.0,

@@ -194,6 +194,111 @@ class TestCachedStreamEval:
         assert all("img_l" in b for b in batches)   # streamed, not cached
 
 
+@pytest.mark.slow
+class TestScanEpoch:
+    def test_stacked_epoch_matches_per_batch_schedule(self, mads_root):
+        """stacked_epoch must consume the SAME RandomState sequence as a
+        per-batch epoch: identical shuffle order, affines, projections,
+        poses, and row masks (deterministic parity of the data
+        schedule)."""
+        cfg = make_cfg(mads_root, occl="None")
+        a = Stereo3DLoader(cfg, "train", seed=3,
+                           device_cache_bytes=1 << 30)
+        _, xs, ep_idx = a.stacked_epoch()
+        assert ep_idx == 0
+
+        # rebuild epoch 0 host-side with an identical loader + RNG and
+        # compare every stacked array
+        c = Stereo3DLoader(cfg, "train", seed=3,
+                           device_cache_bytes=1 << 30)
+        cache = c._ensure_device_cache()
+        hw = cache.frames.shape[1:3]
+        rng = np.random.RandomState(3 + 0)
+        n_steps = 0
+        for s, (n_valid, recs) in enumerate(c._epoch_rec_batches(rng)):
+            hb = c._meta_arrays(recs, rng, [hw] * len(recs))
+            np.testing.assert_array_equal(
+                xs["idx_l"][s], cache.rows([r["image_left"]
+                                            for r in recs]))
+            np.testing.assert_allclose(xs["trans"][s], hb["trans"])
+            np.testing.assert_allclose(xs["pose_3d"][s], hb["pose_3d"])
+            assert xs["row_valid"][s].sum() == n_valid
+            n_steps += 1
+        assert xs["idx_l"].shape[0] == n_steps
+
+    def test_scan_epoch_matches_per_batch_loop(self, mads_root, tmp_path):
+        """Whole-epoch lax.scan training (one dispatch per epoch) vs the
+        per-batch loop: epoch-1 metrics match to float-noise tolerance;
+        later epochs track loosely (the scan-compiled graph fuses
+        differently, and training from random init amplifies float-order
+        noise — grad norms are ~1e5 here)."""
+        from fast3dhpe_tpu.train import loop_cdr
+
+        def run(scan, name):
+            cfg = make_cfg(mads_root, occl="None",
+                           device_cache=1 << 30)
+            cfg.MODEL.NAME = name
+            cfg.TRAIN.EPOCH = 2
+            return loop_cdr.run(
+                cfg, overwrite=True,
+                weights_root=str(tmp_path / f"w_{name}"),
+                seed=3, scan_epochs=scan)
+
+        h_loop = run(False, "scan_off")
+        h_scan = run(True, "scan_on")
+        for k in ("train_loss", "val_loss", "val_mpjpe_3d",
+                  "val_mpjpe_2d", "grad_norm"):
+            np.testing.assert_allclose(h_scan[k][0], h_loop[k][0],
+                                       rtol=2e-3, err_msg=f"{k}[0]")
+        # grad_norm excluded from the loose epoch-2 check: raw gradient
+        # norms of an untrained net spike chaotically (1e5-6e5 here)
+        # once trajectories split by float noise
+        for k in ("train_loss", "val_loss", "val_mpjpe_3d",
+                  "val_mpjpe_2d"):
+            np.testing.assert_allclose(h_scan[k], h_loop[k], rtol=0.15,
+                                       err_msg=k)
+
+    def test_scan_epoch_2d_matches_per_batch_loop(self, mads_root,
+                                                  tmp_path):
+        """2D backbone scan-epoch path (loop2d + make_train_epoch_2d):
+        epoch-1 metrics match the per-batch loop to float-noise
+        tolerance (no occlusion PRNG in the 2D path at all, so the only
+        divergence source is fusion order)."""
+        from fast3dhpe_tpu.train import loop2d
+
+        def run(scan, name):
+            cfg = make_cfg(mads_root, occl="None",
+                           device_cache=1 << 30)
+            cfg.DATASET.TYPE = "MADS_2d"
+            cfg.LOSS.TYPE = "JointsMSE"
+            cfg.MODEL.NAME = name
+            cfg.TRAIN.EPOCH = 2
+            return loop2d.run(cfg, overwrite=True,
+                              weights_root=str(tmp_path / f"w2_{name}"),
+                              seed=5, scan_epochs=scan)
+
+        h_loop = run(False, "scan2d_off")
+        h_scan = run(True, "scan2d_on")
+        for k in ("train_loss", "val_loss", "train_acc", "val_acc"):
+            np.testing.assert_allclose(h_scan[k][0], h_loop[k][0],
+                                       rtol=2e-3, atol=1e-6,
+                                       err_msg=f"{k}[0]")
+            np.testing.assert_allclose(h_scan[k], h_loop[k], rtol=0.15,
+                                       atol=1e-4, err_msg=k)
+
+    def test_scan_epoch_with_occlusion_trains_finite(self, mads_root,
+                                                     tmp_path):
+        from fast3dhpe_tpu.train import loop_cdr
+        cfg = make_cfg(mads_root, occl="CUTOUT", device_cache=1 << 30)
+        cfg.MODEL.NAME = "scan_occl"
+        cfg.TRAIN.EPOCH = 2
+        hist = loop_cdr.run(cfg, overwrite=True,
+                            weights_root=str(tmp_path / "w_occl"),
+                            seed=1, scan_epochs=True)
+        assert all(np.isfinite(v) for v in hist["train_loss"])
+        assert all(np.isfinite(v) for v in hist["val_mpjpe_3d"])
+
+
 class TestDeviceFrameCacheUnit:
     def test_rows_and_dedup(self, mads_root):
         from fast3dhpe_tpu.data.mads import build_mads_stereo_index
