@@ -100,7 +100,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         compute_dtype: str = "float32", plot_dir: Optional[str] = None,
         resume: bool = False, log_every: Optional[int] = None,
         trace_dir: Optional[str] = None,
-        scan_epochs: Optional[bool] = None) -> Dict:
+        scan_epochs: Optional[bool] = None,
+        checkpoint_every: int = 1) -> Dict:
     """Train PoseResNet; returns a history dict (losses/accs per epoch).
 
     scan_epochs: run each epoch as one lax.scan dispatch when the device
@@ -291,8 +292,11 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                     save_checkpoint(os.path.join(model_path, "best"),
                                     _state_tree(state, best_acc))
                     logger.info("Saved new best (val acc %.4f)", va)
-                save_checkpoint(os.path.join(model_path, "latest"),
-                                _state_tree(state, best_acc))
+                if (epoch + 1) % checkpoint_every == 0 or \
+                        epoch + 1 == n_epochs:
+                    save_checkpoint(
+                        os.path.join(model_path, "latest"),
+                        _state_tree(state, best_acc))
 
     except KeyboardInterrupt:
         logger.warning("Interrupted — saving latest checkpoint "

@@ -47,7 +47,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         compute_dtype: str = "float32", plot_dir: Optional[str] = None,
         resume: bool = False, log_every: Optional[int] = None,
         trace_dir: Optional[str] = None,
-        scan_epochs: Optional[bool] = None) -> Dict:
+        scan_epochs: Optional[bool] = None,
+        checkpoint_every: int = 1) -> Dict:
     """Train CDRNet; returns history (losses + val MPJPE per epoch).
 
     compute_dtype: "float32" or "bfloat16" (params/BN stats stay fp32).
@@ -63,6 +64,10 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     removes all per-batch host work. Default (None): auto-enable when
     the cache engages and no per-step hooks (log_every/trace_dir) are
     requested; False forces the per-batch loop.
+    checkpoint_every: save the rolling "latest" checkpoint every N
+    epochs (and always on the final epoch / interrupt). Saving CDR-101
+    state fetches ~540 MB from device; on a slow link per-epoch saves
+    can dominate the wall clock. "best" saves are unaffected.
     """
     logger = setup_logger()
     model_path = os.path.join(weights_root, config.MODEL.NAME)
@@ -267,9 +272,12 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                     save_checkpoint(os.path.join(model_path, "best"),
                                     _state_tree(state, best_err))
                     logger.info("Saved new best (val 3D MPJPE %.2fmm)", e3)
-                save_checkpoint(os.path.join(model_path, "latest"),
-                                _state_tree(state, best_err if best_err != float(
-                                    "inf") else 0.0))
+                if (epoch + 1) % checkpoint_every == 0 or \
+                        epoch + 1 == n_epochs:
+                    save_checkpoint(
+                        os.path.join(model_path, "latest"),
+                        _state_tree(state, best_err if best_err != float(
+                            "inf") else 0.0))
 
     except KeyboardInterrupt:
         logger.warning("Interrupted — saving latest checkpoint "

@@ -82,7 +82,7 @@ def main():
         })
         t0 = time.time()
         hist2d = loop2d.run(cfg2d, overwrite=True, weights_root=weights,
-                            compute_dtype="bfloat16")
+                            compute_dtype="bfloat16", checkpoint_every=5)
         print(f"stage1 (2D, {args.epochs2d} ep, {time.time()-t0:.0f}s): "
               f"best val acc {max(hist2d['val_acc']):.3f}")
     if not os.path.isdir(stage1_ckpt):
@@ -105,7 +105,7 @@ def main():
     })
     t0 = time.time()
     hist = loop_cdr.run(cfg3d, overwrite=True, weights_root=weights,
-                        compute_dtype="bfloat16")
+                        compute_dtype="bfloat16", checkpoint_every=5)
     post = hist["val_mpjpe_3d"][args.warmup + 1:] or hist["val_mpjpe_3d"]
     best = min(post)
     print(f"stage2 (CDR-{args.layers}, {args.epochs3d} ep, "
