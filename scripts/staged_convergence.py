@@ -28,9 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=101)
-    ap.add_argument("--epochs2d", type=int, default=30)
-    ap.add_argument("--epochs3d", type=int, default=40)
-    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--epochs2d", type=int, default=100)
+    ap.add_argument("--epochs3d", type=int, default=100)
+    ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--checkpoint_every", type=int, default=25,
+                    help="fetching 101-depth state is ~540 MB/save on "
+                         "this relay; keep saves rare for wall clock")
     ap.add_argument("--frames", type=int, default=256)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr2d", type=float, default=1e-3)
@@ -73,16 +76,21 @@ def main():
             "MODEL": {"NUM_JOINTS": 19, "NUM_LAYERS": args.layers,
                       "NAME": stage1_name, "PRETRAINED": "",
                       "IMAGE_SIZE": [256, 256], "EXTRA": extra},
+            # two-step decay at 0.6/0.8 of the run mirrors the
+            # reference's mpii schedule (90/120 of 150 epochs)
+            # [ref: configs/mpii.yaml:25-27]
             "TRAIN": {"BATCH_SIZE": args.batch, "EPOCH": args.epochs2d,
                       "LR": args.lr2d,
-                      "LR_STEP": [int(args.epochs2d * 0.7)],
+                      "LR_STEP": [int(args.epochs2d * 0.6),
+                                  int(args.epochs2d * 0.8)],
                       "LR_FACTOR": 0.1},
             "TEST": {"BATCH_SIZE": args.batch},
             "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSE"},
         })
         t0 = time.time()
         hist2d = loop2d.run(cfg2d, overwrite=True, weights_root=weights,
-                            compute_dtype="bfloat16", checkpoint_every=5)
+                            compute_dtype="bfloat16",
+                            checkpoint_every=args.checkpoint_every)
         print(f"stage1 (2D, {args.epochs2d} ep, {time.time()-t0:.0f}s): "
               f"best val acc {max(hist2d['val_acc']):.3f}")
     if not os.path.isdir(stage1_ckpt):
@@ -97,7 +105,9 @@ def main():
                   "PRETRAINED": stage1_ckpt,
                   "IMAGE_SIZE": [256, 256], "EXTRA": extra},
         "TRAIN": {"BATCH_SIZE": args.batch, "EPOCH": args.epochs3d,
-                  "LR": args.lr3d, "LR_STEP": [int(args.epochs3d * 0.7)],
+                  "LR": args.lr3d,
+                  "LR_STEP": [int(args.epochs3d * 0.6),
+                              int(args.epochs3d * 0.8)],
                   "LR_FACTOR": 0.1, "WARMUP": args.warmup,
                   "LOSS_3D_WEIGHT": 4},
         "TEST": {"BATCH_SIZE": args.batch},
@@ -105,7 +115,8 @@ def main():
     })
     t0 = time.time()
     hist = loop_cdr.run(cfg3d, overwrite=True, weights_root=weights,
-                        compute_dtype="bfloat16", checkpoint_every=5)
+                        compute_dtype="bfloat16",
+                        checkpoint_every=args.checkpoint_every)
     post = hist["val_mpjpe_3d"][args.warmup + 1:] or hist["val_mpjpe_3d"]
     best = min(post)
     print(f"stage2 (CDR-{args.layers}, {args.epochs3d} ep, "

@@ -241,6 +241,35 @@ class TestConvergesToAbsoluteAccuracy:
 
 
 @pytest.mark.slow
+class TestDeferredBestCheckpoint:
+    def test_best_written_at_boundary_holds_best_epoch_state(
+            self, mads_root, tmp_path):
+        """With checkpoint_every=N, "best" improvements between
+        boundaries are held as on-device references (fetching a
+        101-depth state is ~540 MB on the relay) and written at the
+        boundary. The written best must carry the BEST epoch's metric
+        and step, not the final epoch's."""
+        import orbax.checkpoint as ocp
+        cfg = tiny_cfg(mads_root, dataset_type="MADS_2d", epochs=4,
+                       name="defer_best")
+        cfg.LOSS.TYPE = "JointsMSE"
+        weights_root = str(tmp_path / "weights")
+        h = loop2d.run(cfg, overwrite=True, weights_root=weights_root,
+                       seed=0, checkpoint_every=4)
+        best_dir = os.path.join(weights_root, "defer_best", "best")
+        assert os.path.isdir(best_dir), \
+            "deferred best never flushed at the checkpoint boundary"
+        with ocp.StandardCheckpointer() as c:
+            tree = c.restore(os.path.abspath(best_dir))
+        best_epoch = int(np.argmax(h["val_acc"]))
+        steps_per_epoch = 2  # 8 samples / batch 4
+        assert float(tree["best_metric"]) == pytest.approx(
+            max(h["val_acc"]), abs=1e-6)
+        assert int(tree["step"]) == (best_epoch + 1) * steps_per_epoch, \
+            "saved best is not the best epoch's state"
+
+
+@pytest.mark.slow
 class TestResume:
     def test_resume_continues_from_checkpoint(self, mads_root, tmp_path):
         """Run 2 epochs, resume, run to 4 — step counter and params carry
