@@ -155,14 +155,20 @@ def bench_training_loop(B=64, dtype="bfloat16"):
                   "PRETRAINED": "", "IMAGE_SIZE": [256, 256],
                   "EXTRA": {"TARGET_TYPE": "gaussian", "SIGMA": 3,
                             "HEATMAP_SIZE": [64, 64]}},
-        "TRAIN": {"BATCH_SIZE": B, "EPOCH": 3, "LR": 1e-4, "LR_STEP": [40],
+        "TRAIN": {"BATCH_SIZE": B, "EPOCH": 24, "LR": 1e-4, "LR_STEP": [40],
                   "LR_FACTOR": 0.1, "WARMUP": 0, "LOSS_3D_WEIGHT": 4},
         "TEST": {"BATCH_SIZE": B},
         "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSESmooth"},
     })
+    # checkpoint_every=12 -> two equal 12-epoch SEGMENTS (each segment =
+    # one dispatch: 12x(train scan + eval scan), steps.make_segment_cdr);
+    # the first pays compile + cold decode, the second is the steady
+    # number. The reported pairs/s counts TRAIN pairs only but the
+    # measured window includes the in-dispatch val epochs (reference
+    # loop parity) — the train-only ceiling is the step rate.
     hist = loop_cdr.run(cfg, overwrite=True, weights_root=f"{tmp}/weights",
-                        max_steps_per_epoch=None, compute_dtype=dtype)
-    # first epoch pays compile + cold decode; report the last epoch
+                        max_steps_per_epoch=None, compute_dtype=dtype,
+                        checkpoint_every=12)
     pps = hist["train_pairs_per_sec"][-1]
     print(f"# training loop (batch {B}, full pipeline): {pps:.1f} pairs/s")
     return pps

@@ -78,10 +78,12 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
-def shard_stacked(mesh: Mesh, tree):
-    """Place (S, B, ...) stacked-epoch arrays (scan axis first) on the
-    mesh with the BATCH axis (axis 1) sharded over "data"."""
-    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+def shard_stacked(mesh: Mesh, tree, lead: int = 1):
+    """Place stacked-epoch arrays on the mesh with the BATCH axis sharded
+    over "data". `lead` = number of leading scan axes before the batch
+    axis: 1 for (S, B, ...) single-epoch stacks, 2 for (E, S, B, ...)
+    multi-epoch segments (train/steps.make_segment_cdr)."""
+    sharding = NamedSharding(mesh, P(*([None] * lead), DATA_AXIS))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)
 

@@ -25,6 +25,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Config
 from ..models import PoseResNet, make_loss
@@ -32,7 +33,8 @@ from ..models.metrics import pck_from_counts
 from ..data import load_data
 from .state import TrainState, make_optimizer, multistep_lr
 from .steps import (make_train_step_2d, make_eval_step_2d,
-                    make_train_epoch_2d, make_eval_epoch_2d)
+                    make_train_epoch_2d, make_eval_epoch_2d,
+                    make_segment_2d)
 from .checkpoint import (save_checkpoint, load_variables,
                          merge_encoder_only, restore_checkpoint_compat)
 from ..utils.logging import setup_logger
@@ -168,7 +170,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     # frames are resident in HBM (see loop_cdr.run docstring)
     scan_allowed = (scan_epochs is not False and log_every is None
                     and trace_dir is None)
-    train_epoch_fn = eval_epoch_fn = None
+    train_epoch_fn = eval_epoch_fn = segment_fn = None
     if scan_allowed and (scan_epochs
                          or config.DATASET.DEVICE_CACHE_BYTES):
         train_epoch_fn = make_train_epoch_2d(
@@ -177,6 +179,14 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         eval_epoch_fn = make_eval_epoch_2d(
             model, loss_fn, config.MODEL.IMAGE_SIZE,
             config.MODEL.EXTRA.HEATMAP_SIZE, config.MODEL.EXTRA.SIGMA)
+        # segment path (see loop_cdr.run): the whole inter-checkpoint
+        # span as one dispatch when both loaders cache
+        if (train_loader._ensure_device_cache() is not None
+                and valid_loader._ensure_device_cache() is not None):
+            segment_fn = make_segment_2d(
+                model, loss_fn, config.MODEL.IMAGE_SIZE,
+                config.MODEL.EXTRA.HEATMAP_SIZE,
+                config.MODEL.EXTRA.SIGMA)
 
     def _try_stacked(loader):
         if train_epoch_fn is None or \
@@ -193,15 +203,93 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         return cache, xs, n_steps, n_valid, ep_idx
 
     n_epochs = max_epochs if max_epochs is not None else config.TRAIN.EPOCH
+    best_state, best_dirty = state, False
     history = {"train_loss": [], "val_loss": [], "train_acc": [],
                "val_acc": [], "train_imgs_per_sec": []}
     meter = ThroughputMeter(window=max(50, 2 * (log_every or 1)))
     global_step = start_epoch * steps_per_epoch
     tracer = StepTracer(trace_dir, logger)
 
+    def _epoch_slice(xs):
+        if max_steps_per_epoch is not None:
+            xs = {k: v[:max_steps_per_epoch] for k, v in xs.items()}
+        return xs
+
+    def _run_segments():
+        """Segment path (see loop_cdr._run_segments): each span between
+        checkpoint boundaries is one dispatch; best val-PCK state is
+        selected on device (steps.make_segment_2d)."""
+        nonlocal state, best_state, best_dirty, best_acc, global_step
+        vcache, vxs, _ = valid_loader.stacked_epoch()
+        vxs = _epoch_slice(vxs)
+        if mesh is not None:
+            from ..parallel import shard_stacked
+            vxs = shard_stacked(mesh, vxs)
+        best_acc_dev = jnp.asarray(best_acc, jnp.float32)
+        epoch = start_epoch
+        while epoch < n_epochs:
+            boundary = min((epoch // checkpoint_every + 1)
+                           * checkpoint_every, n_epochs)
+            E = boundary - epoch
+            t0 = time.time()
+            meter.reset()
+            meter.start()
+            xs_list = []
+            for _ in range(E):
+                tcache, xs, _ = train_loader.stacked_epoch()
+                xs_list.append(_epoch_slice(xs))
+            seq = {k: np.stack([x[k] for x in xs_list])
+                   for k in xs_list[0]}
+            n_imgs = int(seq["row_valid"].sum())
+            S = seq["idx"].shape[1]
+            if mesh is not None:
+                from ..parallel import shard_stacked
+                seq = shard_stacked(mesh, seq, lead=2)
+            state, best_state, best_acc_dev, ms = segment_fn(
+                state, best_state, best_acc_dev, tcache.frames,
+                vcache.frames, seq, vxs)
+            msh = jax.device_get(ms)     # the segment's one true sync
+            meter.step(n_imgs)
+            global_step += E * S
+            seg_ips = meter.samples_per_sec
+            dt = (time.time() - t0) / E
+            for j in range(E):
+                tl = float(msh["train"]["loss"][j]) / max(S, 1)
+                ta = float(msh["train"]["acc"][j]) / max(S, 1)
+                nv = max(float(msh["eval"]["n"][j]), 1.0)
+                vl = float(msh["eval"]["loss_sum"][j]) / nv
+                va = float(msh["val_acc"][j])
+                history["train_loss"].append(tl)
+                history["val_loss"].append(vl)
+                history["train_acc"].append(ta)
+                history["val_acc"].append(va)
+                history["train_imgs_per_sec"].append(seg_ips)
+                logger.info("epoch %d/%d  train loss %.5f acc %.4f "
+                            "(%.1f imgs/s) | val loss %.5f acc %.4f  "
+                            "(%.1fs)", epoch + j + 1, n_epochs, tl, ta,
+                            seg_ips, vl, va, dt)
+                if bool(msh["improved"][j]):
+                    logger.info("New best (val acc %.4f)", va)
+            new_best = float(jax.device_get(best_acc_dev))
+            if new_best > best_acc:
+                best_acc = new_best
+                best_dirty = True
+            epoch = boundary        # == a checkpoint boundary or the end
+            if best_dirty:
+                save_checkpoint(os.path.join(model_path, "best"),
+                                _state_tree(best_state, best_acc))
+                best_dirty = False
+                logger.info("Saved best (val acc %.4f)", best_acc)
+            save_checkpoint(os.path.join(model_path, "latest"),
+                            _state_tree(state, best_acc))
+
     try:
         with interruptible():   # SIGTERM -> KeyboardInterrupt
-            for epoch in range(start_epoch, n_epochs):
+            epochs_iter = (range(0) if segment_fn is not None
+                           else range(start_epoch, n_epochs))
+            if segment_fn is not None:
+                _run_segments()
+            for epoch in epochs_iter:
                 t0 = time.time()
                 meter.reset()
                 meter.start()
@@ -288,12 +376,19 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                             time.time() - t0)
 
                 if va > best_acc:
+                    # best state held on device (zero-copy reference),
+                    # written at checkpoint boundaries — each fetch of a
+                    # 101-depth state is ~540 MB off-device
                     best_acc = va
-                    save_checkpoint(os.path.join(model_path, "best"),
-                                    _state_tree(state, best_acc))
-                    logger.info("Saved new best (val acc %.4f)", va)
+                    best_state, best_dirty = state, True
+                    logger.info("New best (val acc %.4f)", va)
                 if (epoch + 1) % checkpoint_every == 0 or \
                         epoch + 1 == n_epochs:
+                    if best_dirty:
+                        save_checkpoint(os.path.join(model_path, "best"),
+                                        _state_tree(best_state, best_acc))
+                        best_dirty = False
+                        logger.info("Saved best (val acc %.4f)", best_acc)
                     save_checkpoint(
                         os.path.join(model_path, "latest"),
                         _state_tree(state, best_acc))
@@ -301,6 +396,9 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     except KeyboardInterrupt:
         logger.warning("Interrupted — saving latest checkpoint "
                        "before exit (resume with --resume)")
+        if best_dirty:
+            save_checkpoint(os.path.join(model_path, "best"),
+                            _state_tree(best_state, best_acc))
         save_checkpoint(os.path.join(model_path, "latest"),
                         _state_tree(state, best_acc))
         raise

@@ -23,13 +23,15 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Config
 from ..models import CDRNet, make_loss
 from ..data import load_data
 from .state import TrainState, make_optimizer, multistep_lr
 from .steps import (make_train_step_cdr, make_eval_step_cdr,
-                    make_train_epoch_cdr, make_eval_epoch_cdr)
+                    make_train_epoch_cdr, make_eval_epoch_cdr,
+                    make_segment_cdr)
 from .checkpoint import (save_checkpoint, load_variables,
                          merge_encoder_only)
 from .loop2d import _prepare_model_dir, _state_tree, _tree_add, _restore_state
@@ -67,7 +69,10 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     checkpoint_every: save the rolling "latest" checkpoint every N
     epochs (and always on the final epoch / interrupt). Saving CDR-101
     state fetches ~540 MB from device; on a slow link per-epoch saves
-    can dominate the wall clock. "best" saves are unaffected.
+    can dominate the wall clock. The BEST state is held on device
+    (immutable arrays — a zero-copy reference) when it improves and
+    written out at the same checkpoint_every boundaries / at the end,
+    so frequent early-training improvements don't each pay a fetch.
     """
     logger = setup_logger()
     model_path = os.path.join(weights_root, config.MODEL.NAME)
@@ -130,7 +135,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     # frames are resident in HBM (auto; see docstring)
     scan_allowed = (scan_epochs is not False and log_every is None
                     and trace_dir is None)
-    train_epoch_fn = eval_epoch_fn = None
+    train_epoch_fn = eval_epoch_fn = segment_fn = None
     if scan_allowed and (scan_epochs
                          or config.DATASET.DEVICE_CACHE_BYTES):
         image_size = tuple(config.MODEL.IMAGE_SIZE)
@@ -141,6 +146,19 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         eval_epoch_fn = make_eval_epoch_cdr(
             model, loss_fn, image_size, loss_3d_weight=w3d,
             scale_3d=SCALE_3D, base_joint=BASE_JOINT, num_joints=nj)
+        # segment path: when BOTH loaders cache, run the whole
+        # inter-checkpoint span (checkpoint_every epochs, train + eval
+        # each, best selected on device) as ONE dispatch — divides the
+        # fixed per-epoch relay RPC cost by the segment length
+        # (steps.make_segment_cdr). Logs/history appear per segment.
+        if (train_loader._ensure_device_cache() is not None
+                and valid_loader._ensure_device_cache() is not None):
+            segment_fn = make_segment_cdr(
+                model, loss_fn, image_size,
+                occlusion=config.DATASET.OCCLUSION,
+                warmup=config.TRAIN.WARMUP, seed=seed,
+                loss_3d_weight=w3d, scale_3d=SCALE_3D,
+                base_joint=BASE_JOINT, num_joints=nj)
 
     def _try_stacked(loader):
         """(cache, xs, n_steps, n_valid_pairs, epoch_idx) when the cache
@@ -159,6 +177,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
 
     n_epochs = max_epochs if max_epochs is not None else config.TRAIN.EPOCH
     warmup = config.TRAIN.WARMUP
+    best_state, best_dirty = state, False
     history = {"train_loss": [], "val_loss": [], "val_mpjpe_3d": [],
                "val_mpjpe_2d": [], "grad_norm": [],
                "train_pairs_per_sec": []}
@@ -166,9 +185,95 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     global_step = start_epoch * steps_per_epoch
     tracer = StepTracer(trace_dir, logger)
 
+    def _epoch_slice(xs):
+        if max_steps_per_epoch is not None:
+            xs = {k: v[:max_steps_per_epoch] for k, v in xs.items()}
+        return xs
+
+    def _run_segments():
+        """Segment path: each span between checkpoint boundaries is one
+        dispatch (steps.make_segment_cdr). The host stacks E epochs of
+        metadata, dispatches, fetches one (E, ...) metric tree, then
+        logs/saves. On interrupt mid-segment, up to E-1 epochs of work
+        re-runs after --resume (the saved state is the last boundary)."""
+        nonlocal state, best_state, best_dirty, best_err, global_step
+        vcache, vxs, _ = valid_loader.stacked_epoch()
+        vxs = _epoch_slice(vxs)
+        if mesh is not None:
+            from ..parallel import shard_stacked
+            vxs = shard_stacked(mesh, vxs)
+        best_err_dev = jnp.asarray(best_err, jnp.float32)
+        epoch = start_epoch
+        while epoch < n_epochs:
+            boundary = min((epoch // checkpoint_every + 1)
+                           * checkpoint_every, n_epochs)
+            E = boundary - epoch
+            t0 = time.time()
+            meter.reset()
+            meter.start()
+            xs_list = []
+            for _ in range(E):
+                tcache, xs, _ = train_loader.stacked_epoch()
+                xs_list.append(_epoch_slice(xs))
+            seq = {k: np.stack([x[k] for x in xs_list])
+                   for k in xs_list[0]}
+            n_pairs = int(seq["row_valid"].sum())
+            S = seq["idx_l"].shape[1]
+            if mesh is not None:
+                from ..parallel import shard_stacked
+                seq = shard_stacked(mesh, seq, lead=2)
+            state, best_state, best_err_dev, ms = segment_fn(
+                state, best_state, best_err_dev, tcache.frames,
+                vcache.frames, seq, vxs, jnp.asarray(epoch))
+            msh = jax.device_get(ms)     # the segment's one true sync
+            meter.step(n_pairs)
+            global_step += E * S
+            seg_pps = meter.samples_per_sec
+            dt = (time.time() - t0) / E
+            for j in range(E):
+                tl = float(msh["train"]["loss"][j]) / max(S, 1)
+                gn = float(msh["train"]["grad_norm"][j]) / max(S, 1)
+                nv = max(float(msh["eval"]["n"][j]), 1.0)
+                vl = float(msh["eval"]["loss_sum"][j]) / nv
+                e2 = float(msh["eval"]["e2_sum"][j]) / nv
+                e3 = float(msh["eval"]["e3_sum"][j]) / nv
+                history["train_loss"].append(tl)
+                history["val_loss"].append(vl)
+                history["val_mpjpe_2d"].append(e2)
+                history["val_mpjpe_3d"].append(e3)
+                history["grad_norm"].append(gn)
+                history["train_pairs_per_sec"].append(seg_pps)
+                logger.info(
+                    "epoch %d/%d%s  train loss %.5f |grad| %.2f "
+                    "(%.1f pairs/s) | val loss %.5f MPJPE2D %.2fpx "
+                    "MPJPE3D %.2fmm  (%.1fs)",
+                    epoch + j + 1, n_epochs,
+                    " [warmup]" if epoch + j < warmup else "",
+                    tl, gn, seg_pps, vl, e2, e3, dt)
+                if bool(msh["improved"][j]):
+                    logger.info("New best (val 3D MPJPE %.2fmm)", e3)
+            new_best = float(jax.device_get(best_err_dev))
+            if new_best < best_err:
+                best_err = new_best
+                best_dirty = True
+            epoch = boundary        # == a checkpoint boundary or the end
+            if best_dirty:
+                save_checkpoint(os.path.join(model_path, "best"),
+                                _state_tree(best_state, best_err))
+                best_dirty = False
+                logger.info("Saved best (val 3D MPJPE %.2fmm)", best_err)
+            save_checkpoint(
+                os.path.join(model_path, "latest"),
+                _state_tree(state, best_err
+                            if best_err != float("inf") else 0.0))
+
     try:
         with interruptible():   # SIGTERM -> KeyboardInterrupt
-            for epoch in range(start_epoch, n_epochs):
+            epochs_iter = (range(0) if segment_fn is not None
+                           else range(start_epoch, n_epochs))
+            if segment_fn is not None:
+                _run_segments()
+            for epoch in epochs_iter:
                 t0 = time.time()
                 use_3d = jnp.asarray(epoch >= warmup)
 
@@ -266,14 +371,20 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                             " [warmup]" if epoch < warmup else "",
                             tl, gn, train_pps, vl, e2, e3, time.time() - t0)
 
-                # best only post-warmup [ref: train_cdr.py:223-228]
+                # best only post-warmup [ref: train_cdr.py:223-228];
+                # held on device, written at checkpoint boundaries
                 if e3 < best_err and epoch > warmup:
                     best_err = e3
-                    save_checkpoint(os.path.join(model_path, "best"),
-                                    _state_tree(state, best_err))
-                    logger.info("Saved new best (val 3D MPJPE %.2fmm)", e3)
+                    best_state, best_dirty = state, True
+                    logger.info("New best (val 3D MPJPE %.2fmm)", e3)
                 if (epoch + 1) % checkpoint_every == 0 or \
                         epoch + 1 == n_epochs:
+                    if best_dirty:
+                        save_checkpoint(os.path.join(model_path, "best"),
+                                        _state_tree(best_state, best_err))
+                        best_dirty = False
+                        logger.info("Saved best (val 3D MPJPE %.2fmm)",
+                                    best_err)
                     save_checkpoint(
                         os.path.join(model_path, "latest"),
                         _state_tree(state, best_err if best_err != float(
@@ -282,6 +393,9 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     except KeyboardInterrupt:
         logger.warning("Interrupted — saving latest checkpoint "
                        "before exit (resume with --resume)")
+        if best_dirty:
+            save_checkpoint(os.path.join(model_path, "best"),
+                            _state_tree(best_state, best_err))
         save_checkpoint(os.path.join(model_path, "latest"),
                         _state_tree(state, best_err if best_err
                                     != float("inf") else 0.0))

@@ -329,6 +329,167 @@ def make_eval_epoch_cdr(model, loss_fn, image_size,
     return epoch
 
 
+def make_segment_cdr(model, loss_fn, image_size, occlusion=None,
+                     warmup: int = 0, seed: int = 0,
+                     loss_3d_weight: float = 4.0, scale_3d: float = 0.1,
+                     base_joint: int = 1, num_joints: int = 19,
+                     clip_norm: float = 100.0) -> Callable:
+    """A SEGMENT of E epochs — each a full train scan + eval scan — as
+    ONE jitted dispatch, with best-state selection done ON DEVICE.
+
+    Motivation (docs/PERFORMANCE.md round 3): with the scan-epoch path,
+    each epoch still pays a fixed ~1.4 s of relay RPCs (stacked-metadata
+    uploads + 2 dispatches + 2 metric fetches) against ~0.5 s of compute
+    at 256-frame epochs. Batching the E epochs between checkpoint
+    boundaries into one dispatch divides that fixed cost by E; the best
+    val state is tracked inside the graph (per-epoch masked select over
+    the TrainState — ~0.2 ms of HBM traffic per epoch) so no state ever
+    leaves the device except at checkpoint boundaries.
+
+    segment(state, best_state, best_err, t_frames, v_frames, xs_seq,
+            vxs, epoch0) -> (state, best_state, best_err, ms)
+      xs_seq: dict of (E, S, B, ...) train metadata (E stacked
+        Stereo3DLoader.stacked_epoch results — same RandomState sequence
+        as E sequential epochs);
+      vxs: (S', B, ...) eval metadata (epoch-invariant: no augmentation);
+      epoch0: int32 scalar, global index of the segment's first epoch
+        (drives the warmup switch + the per-epoch occlusion PRNG key,
+        PRNGKey(seed*10007 + ep) — identical to the scan-epoch path);
+      best_state/best_err: running best (pass the current state and +inf
+        initially; per reference semantics best only updates when
+        epoch > warmup [ref: train_cdr.py:223-228]);
+      ms: per-epoch stacked metrics {"train": sums over S,
+        "eval": {loss_sum, e2_sum, e3_sum, n}, "improved": (E,) bool}.
+    """
+    from ..data.device_pipeline import preprocess_stereo_batch_cached
+    step = make_train_step_cdr(model, loss_fn,
+                               loss_3d_weight=loss_3d_weight,
+                               scale_3d=scale_3d, base_joint=base_joint,
+                               num_joints=num_joints, clip_norm=clip_norm)
+    estep = make_eval_step_cdr(model, loss_fn,
+                               loss_3d_weight=loss_3d_weight,
+                               scale_3d=scale_3d, base_joint=base_joint,
+                               num_joints=num_joints)
+    image_size = tuple(image_size)
+
+    @jax.jit
+    def segment(state: TrainState, best_state: TrainState, best_err,
+                t_frames, v_frames, xs_seq, vxs, epoch0):
+        def epoch_body(carry, exs):
+            st, ep, best_st, berr = carry
+            use_3d = ep >= warmup
+            epoch_key = jax.random.PRNGKey(seed * 10007 + ep)
+
+            def tbody(c, x):
+                s, i = c
+                key = jax.random.fold_in(epoch_key, i)
+                batch = preprocess_stereo_batch_cached(
+                    key, t_frames, x["idx_l"], x["idx_r"], x["trans"],
+                    x["P_l"], x["P_r"], x["pose_3d"], x["joints_vis"],
+                    image_size=image_size, occlusion=occlusion,
+                    train=True)
+                batch["row_valid"] = x["row_valid"]
+                s, m = step(s, batch, use_3d)
+                return (s, i + 1), m
+
+            (st, _), tms = jax.lax.scan(tbody, (st, jnp.asarray(0)), exs)
+            tsum = jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0),
+                                          tms)
+
+            def ebody(c, x):
+                batch = preprocess_stereo_batch_cached(
+                    epoch_key, v_frames, x["idx_l"], x["idx_r"],
+                    x["trans"], x["P_l"], x["P_r"], x["pose_3d"],
+                    x["joints_vis"], image_size=image_size,
+                    occlusion=None, train=False)
+                batch["row_valid"] = x["row_valid"]
+                m = estep(st, batch, use_3d)
+                return c, {"loss_sum": m["loss_sum"],
+                           "e2_sum": m["e2_sum"],
+                           "e3_sum": m["e3_sum"], "n": m["n"]}
+
+            _, ems = jax.lax.scan(ebody, 0, vxs)
+            esum = jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0),
+                                          ems)
+            e3 = esum["e3_sum"] / jnp.maximum(esum["n"], 1.0)
+            improved = (e3 < berr) & (ep > warmup)
+            best_st = jax.tree_util.tree_map(
+                lambda b, c: jnp.where(improved, c, b), best_st, st)
+            berr = jnp.where(improved, e3, berr)
+            ms = {"train": tsum, "eval": esum, "improved": improved}
+            return (st, ep + 1, best_st, berr), ms
+
+        (state, _, best_state, best_err), ms = jax.lax.scan(
+            epoch_body, (state, epoch0, best_state, best_err), xs_seq)
+        return state, best_state, best_err, ms
+
+    return segment
+
+
+def make_segment_2d(model, loss_fn, image_size, heatmap_size,
+                    sigma: int = 3) -> Callable:
+    """2D counterpart of make_segment_cdr: E epochs (train scan + eval
+    scan each) as one dispatch; best selected on device by val PCK
+    (maximize, no warmup gate [ref: train.py:150-155]).
+
+    segment(state, best_state, best_acc, t_frames, v_frames, xs_seq,
+            vxs) -> (state, best_state, best_acc, ms)
+      ms per-epoch: {"train": sums, "eval": {loss_sum, hits, cnt, n},
+      "val_acc": (E,), "improved": (E,) bool}.
+    """
+    from ..data.device_pipeline import preprocess_mono_batch_cached
+    step = make_train_step_2d(model, loss_fn)
+    estep = make_eval_step_2d(model, loss_fn)
+    image_size = tuple(image_size)
+    heatmap_size = tuple(heatmap_size)
+
+    @jax.jit
+    def segment(state: TrainState, best_state: TrainState, best_acc,
+                t_frames, v_frames, xs_seq, vxs):
+        def epoch_body(carry, exs):
+            st, best_st, bacc = carry
+
+            def tbody(s, x):
+                batch = preprocess_mono_batch_cached(
+                    t_frames, x["idx"], x["flip"], x["trans"],
+                    x["joints"], x["vis"], image_size=image_size,
+                    heatmap_size=heatmap_size, sigma=sigma)
+                batch["row_valid"] = x["row_valid"]
+                return step(s, batch)
+
+            st, tms = jax.lax.scan(tbody, st, exs)
+            tsum = jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0),
+                                          tms)
+
+            def ebody(c, x):
+                batch = preprocess_mono_batch_cached(
+                    v_frames, x["idx"], x["flip"], x["trans"],
+                    x["joints"], x["vis"], image_size=image_size,
+                    heatmap_size=heatmap_size, sigma=sigma)
+                batch["row_valid"] = x["row_valid"]
+                m = estep(st, batch)
+                return c, {"loss_sum": m["loss_sum"], "hits": m["hits"],
+                           "cnt": m["cnt"], "n": m["n"]}
+
+            _, ems = jax.lax.scan(ebody, 0, vxs)
+            esum = jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0),
+                                          ems)
+            va, _ = pck_from_counts(esum["hits"], esum["cnt"])
+            improved = va > bacc
+            best_st = jax.tree_util.tree_map(
+                lambda b, c: jnp.where(improved, c, b), best_st, st)
+            bacc = jnp.where(improved, va, bacc)
+            ms = {"train": tsum, "eval": esum, "val_acc": va,
+                  "improved": improved}
+            return (st, best_st, bacc), ms
+
+        (state, best_state, best_acc), ms = jax.lax.scan(
+            epoch_body, (state, best_state, best_acc), xs_seq)
+        return state, best_state, best_acc, ms
+
+    return segment
+
+
 def make_eval_step_cdr(model, loss_fn, loss_3d_weight: float = 4.0,
                        scale_3d: float = 0.1, base_joint: int = 1,
                        num_joints: int = 19) -> Callable:

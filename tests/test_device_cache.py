@@ -299,6 +299,78 @@ class TestScanEpoch:
         assert all(np.isfinite(v) for v in hist["val_mpjpe_3d"])
 
 
+@pytest.mark.slow
+class TestSegmentExecution:
+    """Multi-epoch segment path (steps.make_segment_cdr/_2d): the span
+    between checkpoint boundaries runs as ONE dispatch with on-device
+    best selection. Must reproduce the per-batch loop's history and the
+    host-side best-checkpoint semantics."""
+
+    def test_cdr_segments_match_per_batch_loop(self, mads_root, tmp_path):
+        import os
+        import orbax.checkpoint as ocp
+        from fast3dhpe_tpu.train import loop_cdr
+
+        def run(name, scan, ckpt_every=1):
+            cfg = make_cfg(mads_root, occl="None",
+                           device_cache=(1 << 30) if scan else 0)
+            cfg.MODEL.NAME = name
+            cfg.TRAIN.EPOCH = 4
+            cfg.TRAIN.WARMUP = 1
+            return loop_cdr.run(cfg, overwrite=True,
+                                weights_root=str(tmp_path / f"w_{name}"),
+                                seed=3, scan_epochs=scan,
+                                checkpoint_every=ckpt_every)
+
+        h_loop = run("seg_off", False)
+        h_seg = run("seg_on", True, ckpt_every=3)   # segments E=3, E=1
+        for k in ("train_loss", "val_loss", "val_mpjpe_3d",
+                  "val_mpjpe_2d"):
+            np.testing.assert_allclose(h_seg[k][0], h_loop[k][0],
+                                       rtol=2e-3, err_msg=f"{k}[0]")
+            np.testing.assert_allclose(h_seg[k], h_loop[k], rtol=0.15,
+                                       err_msg=k)
+
+        # device-selected best == host rule: min val 3D MPJPE over
+        # epochs with index > warmup [ref: train_cdr.py:223-228]
+        best_dir = os.path.join(str(tmp_path / "w_seg_on"), "seg_on",
+                                "best")
+        assert os.path.isdir(best_dir)
+        with ocp.StandardCheckpointer() as c:
+            tree = c.restore(os.path.abspath(best_dir))
+        post = h_seg["val_mpjpe_3d"][2:]        # epochs with idx > warmup
+        best_epoch = 2 + int(np.argmin(post))
+        steps_per_epoch = 3                     # 10 samples / batch 4
+        np.testing.assert_allclose(float(tree["best_metric"]), min(post),
+                                   rtol=1e-5)
+        assert int(tree["step"]) == (best_epoch + 1) * steps_per_epoch, \
+            "segment best is not the best epoch's state"
+
+    def test_2d_segments_match_per_batch_loop(self, mads_root, tmp_path):
+        from fast3dhpe_tpu.train import loop2d
+
+        def run(name, scan, ckpt_every=1):
+            cfg = make_cfg(mads_root, occl="None",
+                           device_cache=(1 << 30) if scan else 0)
+            cfg.DATASET.TYPE = "MADS_2d"
+            cfg.LOSS.TYPE = "JointsMSE"
+            cfg.MODEL.NAME = name
+            cfg.TRAIN.EPOCH = 3
+            return loop2d.run(cfg, overwrite=True,
+                              weights_root=str(tmp_path / f"w2_{name}"),
+                              seed=5, scan_epochs=scan,
+                              checkpoint_every=ckpt_every)
+
+        h_loop = run("seg2_off", False)
+        h_seg = run("seg2_on", True, ckpt_every=2)  # segments E=2, E=1
+        for k in ("train_loss", "val_loss", "train_acc", "val_acc"):
+            np.testing.assert_allclose(h_seg[k][0], h_loop[k][0],
+                                       rtol=2e-3, atol=1e-6,
+                                       err_msg=f"{k}[0]")
+            np.testing.assert_allclose(h_seg[k], h_loop[k], rtol=0.15,
+                                       atol=1e-4, err_msg=k)
+
+
 class TestDeviceFrameCacheUnit:
     def test_rows_and_dedup(self, mads_root):
         from fast3dhpe_tpu.data.mads import build_mads_stereo_index
