@@ -8,11 +8,15 @@ Runs the reference's ACTUAL recipe end-to-end on the synthetic MADS rig
            re-initialized), 2D-warmup, then end-to-end 3D fine-tune
 
 From-scratch CDRNet-101 reached only 209.3 mm on this rig (BASELINE.md);
-the staged protocol is the reference's answer to exactly that — the goal
-is <= the from-scratch CDRNet-18 mark (181.5 mm) at depth 101.
+the staged protocol is the reference's answer to exactly that. Measured
+(real TPU, defaults below): **108.2 mm best val 3D MPJPE** — 40% below
+the from-scratch CDRNet-18 mark (181.5 mm). A first attempt with an
+undertrained 2D stage (30 ep, val PCK 0.102) reached only 339.5 mm; the
+defaults train the backbone to PCK ~0.57 first (100 ep, two-step LR
+decay at 0.6/0.8 like the reference's mpii schedule).
 
     python scripts/staged_convergence.py [--layers 101] \
-        [--epochs2d 30] [--epochs3d 40]
+        [--epochs2d 100] [--epochs3d 100]
 """
 
 import argparse
