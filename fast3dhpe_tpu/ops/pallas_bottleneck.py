@@ -198,6 +198,11 @@ def fused_bottleneck(x, w1, s1, b1, w2, s2, b2, w3, s3, b3,
         out_specs=pl.BlockSpec((S, H, W, Cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((S, H + 2, W + 2, scratch_ch), dt)],
+        # xpack's 4P-channel scratch puts the stage1 working set 94KB
+        # over Mosaic's default 16MB scoped-vmem limit; the v5e has
+        # 128MB of VMEM, so grant the kernel a third of it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * P * (Cin + 9 * P + Cout
