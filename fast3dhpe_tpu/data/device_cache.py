@@ -49,13 +49,21 @@ class DeviceFrameCache:
     `jnp.take(frames, idx, axis=0)`.
     """
 
-    def __init__(self, frames, row_of: Dict[str, int]):
+    def __init__(self, frames, row_of: Dict[str, int],
+                 partial: bool = False):
         self.frames = frames
         self._row_of = row_of
+        #: True when only a prefix of the dataset's frames is resident
+        #: (budget-capped build) — callers route the misses through the
+        #: host upload lane (see loader partial-cache batches).
+        self.partial = partial
 
     @property
     def nbytes(self) -> int:
         return int(np.prod(self.frames.shape))
+
+    def has(self, path: str) -> bool:
+        return path in self._row_of
 
     def rows(self, paths: Sequence[str]) -> np.ndarray:
         """int32 row indices for a batch of frame paths."""
@@ -63,8 +71,9 @@ class DeviceFrameCache:
 
     @classmethod
     def build(cls, paths: Sequence[str], decode_batch,
-              budget_bytes: int, mesh=None,
-              chunk_frames: int = 64) -> Optional["DeviceFrameCache"]:
+              budget_bytes: int, mesh=None, chunk_frames: int = 64,
+              allow_partial: bool = False,
+              pair_stride: int = 1) -> Optional["DeviceFrameCache"]:
         """Decode `paths` (deduplicated, order-preserving) and upload.
 
         Args:
@@ -77,9 +86,19 @@ class DeviceFrameCache:
           chunk_frames: frames per host->device transfer. Chunking bounds
             both the host RAM spike and the per-request transfer size on
             relay-style links.
+          allow_partial: when the dataset exceeds the budget, cache the
+            largest prefix of `paths` that fits instead of failing — the
+            caller serves the remaining frames through its host path
+            (cache.partial is True). Real-MADS-scale datasets (~7-16 GB
+            decoded vs 16 GB HBM shared with model state) land here.
+          pair_stride: round the partial prefix DOWN to a multiple of
+            this many unique paths, so grouped frames (a stereo pair's
+            left+right, adjacent in `paths`) are either both resident or
+            both missing.
         Returns:
-          DeviceFrameCache, or None (over budget / mixed frame sizes) —
-          callers must fall back to host streaming.
+          DeviceFrameCache, or None (over budget with allow_partial=False
+          / mixed frame sizes / nothing fits) — callers must fall back to
+          host streaming.
         """
         if not budget_bytes:
             return None
@@ -89,8 +108,15 @@ class DeviceFrameCache:
         probe = decode_batch(unique[:1])[0]
         h, w, c = probe.shape
         total = len(unique) * h * w * c
-        if total > budget_bytes:
-            return None
+        partial = total > budget_bytes
+        if partial:
+            if not allow_partial:
+                return None
+            n_fit = budget_bytes // (h * w * c)
+            n_fit -= n_fit % max(pair_stride, 1)
+            if n_fit <= 0:
+                return None
+            unique = unique[:n_fit]
 
         sharding = None
         if mesh is not None:
@@ -125,4 +151,4 @@ class DeviceFrameCache:
             for ch in chunks:
                 ch.delete()
         row_of = {p: i for i, p in enumerate(unique)}
-        return cls(frames, row_of)
+        return cls(frames, row_of, partial=partial)

@@ -179,6 +179,39 @@ def preprocess_stereo_batch_cached(key, frames, idx_l, idx_r, trans,
         occl_prob=occl_prob, return_masks=return_masks)
 
 
+@partial(jax.jit, static_argnames=("image_size", "occlusion", "train",
+                                   "return_masks"))
+def preprocess_stereo_batch_partial(key, frames, idx_l, idx_r, up_l, up_r,
+                                    trans, P_l, P_r, pose_3d, joints_vis,
+                                    image_size: Tuple[int, int],
+                                    occlusion: Optional[str] = None,
+                                    train: bool = False,
+                                    occl_prob: float = 0.3,
+                                    return_masks: bool = False):
+    """Stereo preprocess fed from a PARTIAL device frame cache.
+
+    The batch is split into two fixed-size lanes (loader partial-cache
+    schedule): the first idx_l.shape[0] rows gather both views from the
+    resident `frames` array exactly like preprocess_stereo_batch_cached;
+    the remaining up_l.shape[0] rows arrive as host-uploaded raw uint8
+    frames (cache misses — the only frame bytes crossing the link). The
+    two lanes are concatenated (cheap: one batch-sized buffer, no full
+    -cache copy) and flow through the identical preprocessing core.
+    trans/P/pose/joints_vis cover the full batch in lane order
+    (cached rows first, upload rows after).
+    """
+    img_l = jnp.concatenate(
+        [jnp.take(frames, jnp.asarray(idx_l, jnp.int32), axis=0),
+         jnp.asarray(up_l)], axis=0)
+    img_r = jnp.concatenate(
+        [jnp.take(frames, jnp.asarray(idx_r, jnp.int32), axis=0),
+         jnp.asarray(up_r)], axis=0)
+    return _preprocess_stereo_core(
+        key, img_l, img_r, trans, P_l, P_r, pose_3d, joints_vis,
+        image_size=image_size, occlusion=occlusion, train=train,
+        occl_prob=occl_prob, return_masks=return_masks)
+
+
 def _preprocess_mono_core(img, trans, joints, joints_vis,
                           image_size: Tuple[int, int],
                           heatmap_size: Tuple[int, int], sigma: int = 3):
@@ -227,6 +260,28 @@ def preprocess_mono_batch_cached(frames, idx, flip, trans, joints,
     bit-for-bit.
     """
     img = jnp.take(frames, jnp.asarray(idx, jnp.int32), axis=0)
+    img = jnp.where(jnp.asarray(flip, bool)[:, None, None, None],
+                    img[:, :, ::-1, :], img)
+    return _preprocess_mono_core(img, trans, joints, joints_vis,
+                                 image_size=image_size,
+                                 heatmap_size=heatmap_size, sigma=sigma)
+
+
+@partial(jax.jit, static_argnames=("image_size", "heatmap_size", "sigma"))
+def preprocess_mono_batch_partial(frames, idx, up, flip, trans, joints,
+                                  joints_vis, image_size: Tuple[int, int],
+                                  heatmap_size: Tuple[int, int],
+                                  sigma: int = 3):
+    """Mono preprocess fed from a PARTIAL device frame cache (see
+    preprocess_stereo_batch_partial): the first idx.shape[0] rows gather
+    from the resident `frames`; the up.shape[0] miss rows arrive as raw
+    host uploads. flip covers the full batch in lane order and mirrors
+    on device for both lanes (the upload lane ships UNFLIPPED raw frames
+    so RAM-cache hits stay flip-agnostic, exactly like the cached
+    path)."""
+    img = jnp.concatenate(
+        [jnp.take(frames, jnp.asarray(idx, jnp.int32), axis=0),
+         jnp.asarray(up)], axis=0)
     img = jnp.where(jnp.asarray(flip, bool)[:, None, None, None],
                     img[:, :, ::-1, :], img)
     return _preprocess_mono_core(img, trans, joints, joints_vis,

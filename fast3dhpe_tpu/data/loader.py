@@ -40,8 +40,10 @@ from .mads import (build_mads_index, build_mads_stereo_index,
 from .mpii import build_mpii_index, MPII_FLIP_PAIRS
 from .device_pipeline import (preprocess_stereo_batch,
                               preprocess_stereo_batch_cached,
+                              preprocess_stereo_batch_partial,
                               preprocess_mono_batch,
-                              preprocess_mono_batch_cached)
+                              preprocess_mono_batch_cached,
+                              preprocess_mono_batch_partial)
 
 
 _SHARED_POOL = None
@@ -187,6 +189,51 @@ def _row_mask(n_valid: int, batch_size: int) -> np.ndarray:
     return m
 
 
+def _partial_epoch_schedule(records, batch_size, nb, rng, resident,
+                            train):
+    """PARTIAL-device-cache epoch schedule: yields (n_valid, recs_cached,
+    recs_upload) with FIXED lane sizes so every batch compiles to one
+    static shape.
+
+    Records are split by `resident(rec)`. Each batch carries exactly n_c
+    cached rows + n_u upload rows with n_c + n_u = batch_size; the
+    upload lane absorbs all misses, any cached records beyond the cached
+    lane's capacity, and the final-batch padding (pads sit at the END of
+    the upload pool, so the row_valid prefix mask stays correct). Train
+    epochs permute both pools; eval keeps natural order. Every real
+    record appears exactly once per epoch, like the plain permutation —
+    the only distributional deviation is stratified (fixed per-batch
+    cached/uncached mix) instead of fully exchangeable batching."""
+    cached_rows, miss_rows = [], []
+    for i, r in enumerate(records):
+        (cached_rows if resident(r) else miss_rows).append(i)
+    B = batch_size
+    n_pad = nb * B - len(records)
+    n_u = min(B, -(-(len(miss_rows) + n_pad) // nb))
+    n_c = B - n_u
+    if train:
+        cached_rows = list(np.asarray(cached_rows, np.int64)[
+            rng.permutation(len(cached_rows))])
+        miss_rows = list(np.asarray(miss_rows, np.int64)[
+            rng.permutation(len(miss_rows))])
+    # cached pool keeps exactly nb*n_c records; the rest move to the
+    # upload pool (a cached record can always be served by upload)
+    upool = miss_rows + cached_rows[nb * n_c:]
+    cpool = cached_rows[:nb * n_c]
+    assert len(cpool) == nb * n_c and len(upool) == nb * n_u - n_pad
+    pad_rec = upool[-1] if upool else (cpool[-1] if cpool else 0)
+    first_pad = len(upool)
+    upool = upool + [pad_rec] * n_pad
+    for b in range(nb):
+        recs_c = [records[i] for i in cpool[b * n_c:(b + 1) * n_c]]
+        uslice = upool[b * n_u:(b + 1) * n_u]
+        recs_u = [records[i] for i in uslice]
+        # pads are the upload pool's tail -> prefix mask stays valid
+        n_valid = n_c + n_u - sum(
+            1 for k in range(len(uslice)) if b * n_u + k >= first_pad)
+        yield n_valid, recs_c, recs_u
+
+
 class Stereo3DLoader:
     """MADS stereo batches for CDRNet training/eval.
 
@@ -321,7 +368,15 @@ class Stereo3DLoader:
             yield n_valid, recs
 
     def _ensure_device_cache(self):
-        """Build the HBM frame cache once; record failure and fall back."""
+        """Build the HBM frame cache once; record failure and fall back.
+
+        When the dataset exceeds the budget (real-MADS scale: ~7-16 GB
+        decoded vs 16 GB HBM shared with model state), a PARTIAL cache
+        is built instead (single-process, no mesh): the largest prefix
+        of records whose stereo pairs fit stays resident, and batches
+        mix on-device gathers with a fixed-size host upload lane for the
+        misses (see _epoch_partial_batches) — per-step link traffic
+        drops by the cached fraction instead of all-or-nothing."""
         if self._device_cache is not None or self._device_cache_failed:
             return self._device_cache
         if not self._device_cache_budget:
@@ -335,14 +390,27 @@ class Stereo3DLoader:
         from .device_cache import DeviceFrameCache
         paths = [rec[k] for rec in self.records
                  for k in ("image_left", "image_right")]
+        # partial lanes are sized per-epoch (n_c/n_u) — under a mesh the
+        # lanes generally don't divide the device count, so partial mode
+        # is single-device only; full caches still work under a mesh
         cache = DeviceFrameCache.build(
             paths, self._decode_paths, self._device_cache_budget,
-            mesh=self.mesh)
+            mesh=self.mesh, allow_partial=self.mesh is None,
+            pair_stride=2)
         if cache is None:
             self._device_cache_failed = True
             return None
         self._device_cache = cache
         return cache
+
+    def _epoch_partial_batches(self, rng, cache):
+        """Partial-cache epoch schedule (records whose BOTH views are
+        resident form the cached lane); see _partial_epoch_schedule."""
+        return _partial_epoch_schedule(
+            self.records, self.batch_size, len(self), rng,
+            lambda r: (cache.has(r["image_left"])
+                       and cache.has(r["image_right"])),
+            self.train)
 
     @property
     def device_cached(self) -> bool:
@@ -370,6 +438,14 @@ class Stereo3DLoader:
             raise RuntimeError(
                 "stacked_epoch requires the device frame cache "
                 "(DEVICE_CACHE_BYTES) — use iteration for streaming")
+        if cache.partial:
+            # stacking an epoch would keep every miss frame resident for
+            # the scan's duration — exactly the memory the partial cache
+            # exists to avoid. Loops use the per-batch path instead.
+            raise RuntimeError(
+                "stacked_epoch requires a FULL device cache; this "
+                "dataset exceeds DEVICE_CACHE_BYTES (partial cache) — "
+                "use per-batch iteration")
         rng = np.random.RandomState(self.seed + self._epoch)
         epoch_index = self._epoch
         self._epoch += 1
@@ -392,6 +468,36 @@ class Stereo3DLoader:
         self._epoch += 1
         cache = self._ensure_device_cache()
         occl = self.occlusion if self.train else None
+
+        def gen_partial():
+            """Partial-cache batches: fixed cached-gather + upload lanes
+            (preprocess_stereo_batch_partial); only the miss lane's raw
+            frames cross the host->device link."""
+            nonlocal key
+            hw = cache.frames.shape[1:3]
+            for n_valid, recs_c, recs_u in self._epoch_partial_batches(
+                    rng, cache):
+                key, sub = jax.random.split(key)
+                rv = _row_mask(n_valid, self.batch_size)
+                recs = recs_c + recs_u
+                imgs_l, imgs_r = (self._decode_stereo(recs_u)
+                                  if recs_u else ([], []))
+                hb = self._meta_arrays(recs, rng, [hw] * len(recs))
+                up_shape = (0, *hw, 3) if not recs_u else None
+                batch = preprocess_stereo_batch_partial(
+                    sub, cache.frames,
+                    cache.rows([r["image_left"] for r in recs_c]),
+                    cache.rows([r["image_right"] for r in recs_c]),
+                    (np.stack(imgs_l) if recs_u
+                     else np.zeros(up_shape, np.uint8)),
+                    (np.stack(imgs_r) if recs_u
+                     else np.zeros(up_shape, np.uint8)),
+                    hb["trans"], hb["P_l"], hb["P_r"], hb["pose_3d"],
+                    hb["joints_vis"], image_size=self.image_size,
+                    occlusion=occl, train=self.train,
+                    return_masks=self.return_masks)
+                batch["row_valid"] = rv
+                yield batch
 
         def gen():
             nonlocal key
@@ -436,6 +542,8 @@ class Stereo3DLoader:
                 batch["row_valid"] = rv
                 yield batch
 
+        if cache is not None and cache.partial:
+            return _prefetch(gen_partial())
         return _prefetch(gen())
 
 
@@ -640,14 +748,22 @@ class Mono2DLoader:
             self._device_cache_failed = True
             return None
         from .device_cache import DeviceFrameCache
+        # over-budget datasets get a PARTIAL cache (single-device only;
+        # see Stereo3DLoader._ensure_device_cache)
         cache = DeviceFrameCache.build(
             [rec["image"] for rec in self.records], self._decode_paths,
-            self._device_cache_budget, mesh=self.mesh)
+            self._device_cache_budget, mesh=self.mesh,
+            allow_partial=self.mesh is None)
         if cache is None:
             self._device_cache_failed = True
             return None
         self._device_cache = cache
         return cache
+
+    def _epoch_partial_batches(self, rng, cache):
+        return _partial_epoch_schedule(
+            self.records, self.batch_size, len(self), rng,
+            lambda r: cache.has(r["image"]), self.train)
 
     @property
     def device_cached(self) -> bool:
@@ -665,6 +781,14 @@ class Mono2DLoader:
             raise RuntimeError(
                 "stacked_epoch requires the device frame cache "
                 "(DEVICE_CACHE_BYTES) — use iteration for streaming")
+        if cache.partial:
+            # stacking an epoch would keep every miss frame resident for
+            # the scan's duration — exactly the memory the partial cache
+            # exists to avoid. Loops use the per-batch path instead.
+            raise RuntimeError(
+                "stacked_epoch requires a FULL device cache; this "
+                "dataset exceeds DEVICE_CACHE_BYTES (partial cache) — "
+                "use per-batch iteration")
         rng = np.random.RandomState(self.seed + self._epoch)
         epoch_index = self._epoch
         self._epoch += 1
@@ -690,6 +814,33 @@ class Mono2DLoader:
         rng = np.random.RandomState(self.seed + self._epoch)
         self._epoch += 1
         cache = self._ensure_device_cache()
+
+        def partial_gen():
+            """Partial-cache batches: cached-gather lane + raw-frame
+            upload lane (preprocess_mono_batch_partial); both lanes flip
+            on device, so the upload ships unflipped raw frames."""
+            hw = (int(cache.frames.shape[1]), int(cache.frames.shape[2]))
+            for n_valid, recs_c, recs_u in self._epoch_partial_batches(
+                    rng, cache):
+                recs = recs_c + recs_u
+                augs = self._draw_augs(rng, recs)
+                samples = [self._prepare_sample(rec, aug, None, hw=hw)
+                           for rec, aug in zip(recs, augs)]
+                idx = cache.rows([r["image"] for r in recs_c])
+                up = (np.stack(self._decode_paths(
+                          [r["image"] for r in recs_u]))
+                      if recs_u else np.zeros((0, *hw, 3), np.uint8))
+                flip = np.asarray([s[4] for s in samples], bool)
+                trans = np.stack([s[1] for s in samples])
+                joints = np.stack([s[2] for s in samples]) \
+                    .astype(np.float32)
+                vis = np.stack([s[3] for s in samples]).astype(np.float32)
+                batch = preprocess_mono_batch_partial(
+                    cache.frames, idx, up, flip, trans, joints, vis,
+                    image_size=self.image_size,
+                    heatmap_size=self.heatmap_size, sigma=self.sigma)
+                batch["row_valid"] = _row_mask(n_valid, self.batch_size)
+                yield batch
 
         def cached_gen():
             from ..parallel import shard_batch
@@ -744,6 +895,8 @@ class Mono2DLoader:
                 batch["row_valid"] = rv
                 yield batch
 
+        if cache is not None and cache.partial:
+            return _prefetch(partial_gen())
         return _prefetch(cached_gen() if cache is not None else gen())
 
 

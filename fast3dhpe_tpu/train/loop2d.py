@@ -181,16 +181,20 @@ def run(config: Config, mesh=None, overwrite: bool = False,
             config.MODEL.EXTRA.HEATMAP_SIZE, config.MODEL.EXTRA.SIGMA)
         # segment path (see loop_cdr.run): the whole inter-checkpoint
         # span as one dispatch when both loaders cache
-        if (train_loader._ensure_device_cache() is not None
-                and valid_loader._ensure_device_cache() is not None):
+        tprobe = train_loader._ensure_device_cache()
+        vprobe = valid_loader._ensure_device_cache()
+        if (tprobe is not None and not tprobe.partial
+                and vprobe is not None and not vprobe.partial):
             segment_fn = make_segment_2d(
                 model, loss_fn, config.MODEL.IMAGE_SIZE,
                 config.MODEL.EXTRA.HEATMAP_SIZE,
                 config.MODEL.EXTRA.SIGMA)
 
     def _try_stacked(loader):
-        if train_epoch_fn is None or \
-                loader._ensure_device_cache() is None:
+        if train_epoch_fn is None:
+            return None
+        probe = loader._ensure_device_cache()
+        if probe is None or probe.partial:
             return None
         cache, xs, ep_idx = loader.stacked_epoch()
         if max_steps_per_epoch is not None:

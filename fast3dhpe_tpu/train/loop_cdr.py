@@ -151,8 +151,11 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         # each, best selected on device) as ONE dispatch — divides the
         # fixed per-epoch relay RPC cost by the segment length
         # (steps.make_segment_cdr). Logs/history appear per segment.
-        if (train_loader._ensure_device_cache() is not None
-                and valid_loader._ensure_device_cache() is not None):
+        tcache_probe = train_loader._ensure_device_cache()
+        vcache_probe = valid_loader._ensure_device_cache()
+        if (tcache_probe is not None and not tcache_probe.partial
+                and vcache_probe is not None
+                and not vcache_probe.partial):
             segment_fn = make_segment_cdr(
                 model, loss_fn, image_size,
                 occlusion=config.DATASET.OCCLUSION,
@@ -162,8 +165,12 @@ def run(config: Config, mesh=None, overwrite: bool = False,
 
     def _try_stacked(loader):
         """(cache, xs, n_steps, n_valid_pairs, epoch_idx) when the cache
-        engages, else None (fall back to the streaming per-batch loop)."""
-        if train_epoch_fn is None or loader._ensure_device_cache() is None:
+        engages FULLY, else None (fall back to the per-batch loop — which
+        still exploits a partial cache through its upload lane)."""
+        if train_epoch_fn is None:
+            return None
+        probe = loader._ensure_device_cache()
+        if probe is None or probe.partial:
             return None
         cache, xs, ep_idx = loader.stacked_epoch()
         if max_steps_per_epoch is not None:

@@ -371,6 +371,178 @@ class TestSegmentExecution:
                                        atol=1e-4, err_msg=k)
 
 
+class TestPartialCache:
+    """Budget-capped PARTIAL cache (real-MADS scale: dataset > HBM
+    budget): a prefix of stereo pairs stays resident; batches run with a
+    fixed cached-gather lane + host upload lane for the misses
+    (preprocess_stereo_batch_partial). Every record must still appear
+    exactly once per epoch with correct numerics."""
+
+    FRAME = 128 * 96 * 3                 # synthetic tree frame bytes
+
+    def _half_budget(self):
+        # 10 records/split = 20 unique frames; fit ~10 -> 5 pairs cached
+        return 10 * self.FRAME + self.FRAME // 2
+
+    def test_partial_cache_engages(self, mads_root):
+        cfg = make_cfg(mads_root)
+        loader = Stereo3DLoader(cfg, "valid", seed=1,
+                                device_cache_bytes=self._half_budget())
+        batches = list(loader)
+        cache = loader._device_cache
+        assert cache is not None and cache.partial
+        assert cache.frames.shape[0] == 10          # 5 pairs resident
+        assert len(batches) == len(loader)
+
+    def test_partial_eval_matches_host_path_per_record(self, mads_root):
+        """Eval is deterministic per record (no augmentation draws), so
+        each record's preprocessed tensors must match the plain host
+        path's — only the batch composition is allowed to differ."""
+        cfg = make_cfg(mads_root)
+
+        def by_record(loader):
+            out = {}
+            for b in loader:
+                b = {k: np.asarray(v) for k, v in b.items()}
+                for i in range(len(b["row_valid"])):
+                    if b["row_valid"][i] < 0.5:
+                        continue
+                    k = b["target_3d"][i].tobytes()
+                    out[k] = {f: b[f][i] for f in
+                              ("image", "proj", "target_2d",
+                               "target_weight")}
+            return out
+
+        host = by_record(Stereo3DLoader(cfg, "valid", seed=1))
+        part = by_record(Stereo3DLoader(
+            cfg, "valid", seed=1,
+            device_cache_bytes=self._half_budget()))
+        assert set(host) == set(part) and len(host) == 10
+        for k in host:
+            for f in host[k]:
+                np.testing.assert_allclose(part[k][f], host[k][f],
+                                           atol=1e-5, err_msg=f)
+
+    def test_partial_train_epoch_covers_each_record_once(self, mads_root):
+        cfg = make_cfg(mads_root)
+        loader = Stereo3DLoader(cfg, "train", seed=4,
+                                device_cache_bytes=self._half_budget())
+        seen = []
+        for b in loader:
+            rv = np.asarray(b["row_valid"])
+            t3 = np.asarray(b["target_3d"])
+            img = np.asarray(b["image"])
+            assert np.isfinite(img).all()
+            seen += [t3[i].tobytes() for i in range(len(rv))
+                     if rv[i] > 0.5]
+        assert len(seen) == 10 and len(set(seen)) == 10
+        assert loader._device_cache.partial
+
+    def test_partial_schedule_lanes_fixed_and_pads_last(self, mads_root):
+        """Static shapes: every batch has the same lane split; pads only
+        in trailing batches (prefix row mask stays valid)."""
+        cfg = make_cfg(mads_root, batch=3)      # 10 records -> 4 batches
+        loader = Stereo3DLoader(cfg, "train", seed=0,
+                                device_cache_bytes=self._half_budget())
+        cache = loader._ensure_device_cache()
+        assert cache.partial
+        rng = np.random.RandomState(0)
+        lanes = list(loader._epoch_partial_batches(rng, cache))
+        n_c = len(lanes[0][1])
+        n_u = len(lanes[0][2])
+        assert n_c + n_u == 3
+        total_valid = 0
+        for n_valid, recs_c, recs_u in lanes:
+            assert len(recs_c) == n_c and len(recs_u) == n_u
+            total_valid += n_valid
+        assert total_valid == 10
+        # all pads in the last batch here (pad = 2 < n_u per batch)
+        assert all(nv == 3 for nv, _, _ in lanes[:-1])
+        assert lanes[-1][0] == 3 - (len(lanes) * 3 - 10)
+
+    def test_stacked_epoch_refuses_partial(self, mads_root):
+        cfg = make_cfg(mads_root)
+        loader = Stereo3DLoader(cfg, "train", seed=0,
+                                device_cache_bytes=self._half_budget())
+        with pytest.raises(RuntimeError, match="partial"):
+            loader.stacked_epoch()
+
+    def test_loop_trains_finite_on_partial_cache(self, mads_root,
+                                                 tmp_path):
+        """loop_cdr must fall back from scan/segment to the per-batch
+        path (which uses the partial lanes) and train to finite
+        metrics."""
+        from fast3dhpe_tpu.train import loop_cdr
+        cfg = make_cfg(mads_root, occl="None")
+        cfg.DATASET.DEVICE_CACHE_BYTES = self._half_budget()
+        cfg.MODEL.NAME = "partial_loop"
+        cfg.TRAIN.EPOCH = 2
+        hist = loop_cdr.run(cfg, overwrite=True,
+                            weights_root=str(tmp_path / "w_part"),
+                            seed=2)
+        assert all(np.isfinite(v) for v in hist["train_loss"])
+        assert all(np.isfinite(v) for v in hist["val_mpjpe_3d"])
+
+    def test_partial_mono_eval_matches_host_path(self, mads_root):
+        """MADS_2d partial cache: per-record (target-keyed) images match
+        the plain device-preprocess path."""
+        from fast3dhpe_tpu.data.loader import Mono2DLoader
+        cfg = make_cfg(mads_root, occl="None")
+        cfg.DATASET.TYPE = "MADS_2d"
+
+        def by_record(loader):
+            out = {}
+            for b in loader:
+                b = {k: np.asarray(v) for k, v in b.items()}
+                for i in range(len(b["row_valid"])):
+                    if b["row_valid"][i] > 0.5:
+                        out[b["target"][i].tobytes()] = b["image"][i]
+            return out
+
+        host = by_record(Mono2DLoader(cfg, "valid", seed=1))
+        part = by_record(Mono2DLoader(
+            cfg, "valid", seed=1,
+            device_cache_bytes=self._half_budget() // 2))
+        assert set(host) == set(part) and len(host) == 10
+        for k in host:
+            np.testing.assert_allclose(part[k], host[k], atol=1e-5)
+
+    def test_partial_mono_train_covers_each_record_once(self, mads_root):
+        from fast3dhpe_tpu.data.loader import Mono2DLoader
+        cfg = make_cfg(mads_root, occl="None")
+        cfg.DATASET.TYPE = "MADS_2d"
+        loader = Mono2DLoader(cfg, "train", seed=9,
+                              device_cache_bytes=self._half_budget() // 2)
+        n_valid_total = 0
+        for b in loader:
+            assert np.isfinite(np.asarray(b["image"])).all()
+            n_valid_total += int(np.asarray(b["row_valid"]).sum())
+        assert n_valid_total == 10
+        assert loader._device_cache is not None
+        assert loader._device_cache.partial
+
+    def test_build_partial_pair_stride(self, mads_root):
+        from fast3dhpe_tpu.data.mads import build_mads_stereo_index
+        from fast3dhpe_tpu.data.loader import _imread
+        recs = build_mads_stereo_index(mads_root, "valid")
+        paths = [r[k] for r in recs
+                 for k in ("image_left", "image_right")]
+
+        def decode(ps):
+            return [_imread(p) for p in ps]
+
+        budget = 5 * self.FRAME               # 5 frames -> floor to 4
+        cache = DeviceFrameCache.build(paths, decode, budget,
+                                       allow_partial=True, pair_stride=2)
+        assert cache is not None and cache.partial
+        assert cache.frames.shape[0] == 4
+        assert cache.has(recs[0]["image_left"])
+        assert cache.has(recs[1]["image_right"])
+        assert not cache.has(recs[2]["image_left"])
+        # without allow_partial the same budget fails the build
+        assert DeviceFrameCache.build(paths, decode, budget) is None
+
+
 class TestDeviceFrameCacheUnit:
     def test_rows_and_dedup(self, mads_root):
         from fast3dhpe_tpu.data.mads import build_mads_stereo_index
