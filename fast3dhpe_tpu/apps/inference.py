@@ -160,7 +160,10 @@ class CDRNetInferencer:
         upload RPCs alone."""
         if device_cache_bytes:
             cache = stream.build_device_cache(device_cache_bytes)
-            if cache is not None:
+            # partial caches can't stack the movement (misses would all
+            # ride the scan upload) — the per-batch loop below consumes
+            # the chained cached+streamed batches instead
+            if cache is not None and not cache.partial:
                 batches = list(stream._cached_batches(batch_size, cache))
                 poses = np.stack([b["pose_3d"] for b in batches])
                 vis = np.logical_and.reduce(

@@ -57,14 +57,21 @@ class LoadMADSData:
         """Decode the whole movement once into device HBM
         (data.device_cache.DeviceFrameCache); batches() then yields index
         batches and the consumer gathers frames on device — no per-batch
-        frame bytes on the host->device link. Returns the cache, or None
-        (over budget / mixed frame sizes -> streaming fallback)."""
+        frame bytes on the host->device link. Movements larger than the
+        budget keep a PARTIAL cache (cache.partial): resident frames
+        still serve index batches, the rest stream. Returns the cache,
+        or None (mixed frame sizes / nothing fits -> streaming
+        fallback)."""
         if self._device_cache is None and not self._device_cache_failed:
             from .device_cache import DeviceFrameCache
-            paths = ([m["left_img_path"] for m in self.metadata]
-                     + [m["right_img_path"] for m in self.metadata])
+            # interleave pairs so a budget cut keeps both views of a
+            # frame together (pair_stride=2)
+            paths = [p for m in self.metadata
+                     for p in (m["left_img_path"], m["right_img_path"])]
             cache = DeviceFrameCache.build(paths, self._decoder,
-                                           budget_bytes)
+                                           budget_bytes,
+                                           allow_partial=True,
+                                           pair_stride=2)
             if cache is None:
                 self._device_cache_failed = True
             self._device_cache = cache
@@ -154,18 +161,50 @@ class LoadMADSData:
         device HBM once (build_device_cache) and batches carry
         "frames"/"idx_l"/"idx_r" instead of image arrays — the consumer
         gathers + warps on device (apps.inference._predict_eval_cached).
-        Falls back to the device_warp/host path when the cache can't be
-        built."""
+        Over-budget movements keep a PARTIAL cache: resident frames
+        yield index batches first, then the misses stream (consumers
+        dispatch per batch kind). Falls back to the device_warp/host
+        path when no cache can be built at all."""
         if device_cache_bytes:
             cache = self.build_device_cache(device_cache_bytes)
-            if cache is not None:
+            if cache is not None and not cache.partial:
                 return self._cached_batches(batch_size, cache)
+            if cache is not None and cache.partial:
+                # partial cache: resident frames serve index batches, the
+                # rest stream — eval metrics are order-invariant, and the
+                # consumer (apps.inference.evaluate_movement) already
+                # dispatches per batch kind
+                resident = [m for m in self.metadata
+                            if cache.has(m["left_img_path"])
+                            and cache.has(m["right_img_path"])]
+                misses = [m for m in self.metadata
+                          if not (cache.has(m["left_img_path"])
+                                  and cache.has(m["right_img_path"]))]
+
+                def chain():
+                    if resident:
+                        for b in self._cached_batches(batch_size, cache,
+                                                      metas=resident):
+                            yield b
+                    if misses:
+                        for b in self._stream_batches(batch_size,
+                                                      device_warp,
+                                                      misses):
+                            yield b
+
+                return chain()
+        return self._stream_batches(batch_size, device_warp,
+                                    self.metadata)
+
+    def _stream_batches(self, batch_size: int, device_warp: bool,
+                        metadata: List[Dict]) -> Iterator[Dict]:
+        """Streamed (non-resident) batches over `metadata`."""
 
         def gen():
-            n = len(self.metadata)
+            n = len(metadata)
             for start in range(0, n, batch_size):
                 metas = [copy.deepcopy(m)
-                         for m in self.metadata[start:start + batch_size]]
+                         for m in metadata[start:start + batch_size]]
                 n_valid = len(metas)
                 while len(metas) < batch_size:
                     metas.append(copy.deepcopy(metas[-1]))
@@ -208,18 +247,21 @@ class LoadMADSData:
 
         return _prefetch(gen())
 
-    def _cached_batches(self, batch_size: int, cache) -> Iterator[Dict]:
+    def _cached_batches(self, batch_size: int, cache,
+                        metas=None) -> Iterator[Dict]:
         """Index batches over resident frames: per-batch host work is a
-        few KB of indices/affines/projections — no image bytes."""
+        few KB of indices/affines/projections — no image bytes. `metas`
+        restricts to a subset (partial cache: the resident records)."""
+        metadata = self.metadata if metas is None else metas
 
         def gen():
-            n = len(self.metadata)
+            n = len(metadata)
             h, w = (int(cache.frames.shape[1]), int(cache.frames.shape[2]))
             c = np.array([w / 2, h / 2])
             trans0 = get_affine_transform(c, 1, 0, min(h, w),
                                           self.image_size)
             for start in range(0, n, batch_size):
-                metas = self.metadata[start:start + batch_size]
+                metas = metadata[start:start + batch_size]
                 n_valid = len(metas)
                 while len(metas) < batch_size:
                     metas = metas + [metas[-1]]

@@ -193,6 +193,54 @@ class TestCachedStreamEval:
                                       device_cache_bytes=100))
         assert all("img_l" in b for b in batches)   # streamed, not cached
 
+    def test_stream_partial_cache_chains_both_kinds(self, mads_root):
+        """A movement over the budget keeps a partial cache: resident
+        frames yield index batches, misses stream; together they cover
+        every frame exactly once."""
+        import os
+        from fast3dhpe_tpu.data.stream import LoadMADSData
+        frame = 128 * 96 * 3
+        stream = LoadMADSData(os.path.join(mads_root, "valid"),
+                              (64, 64), "HipHop")
+        budget = 10 * frame + frame // 2      # 5 of 10 pairs resident
+        batches = list(stream.batches(4, device_warp=True,
+                                      device_cache_bytes=budget))
+        assert stream._device_cache is not None
+        assert stream._device_cache.partial
+        kinds = {("cached" if "frames" in b else "stream")
+                 for b in batches}
+        assert kinds == {"cached", "stream"}
+        total = sum(b["n_valid"] for b in batches)
+        assert total == 10
+
+    def test_evaluate_movement_partial_matches_uncached(self, mads_root):
+        import os
+        import jax.numpy as jnp
+        from fast3dhpe_tpu.apps.inference import CDRNetInferencer
+        from fast3dhpe_tpu.data.stream import LoadMADSData
+        from fast3dhpe_tpu.models import CDRNet
+
+        cfg = make_cfg(mads_root)
+        model = CDRNet.from_config(cfg)
+        imgs = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+        proj = jnp.broadcast_to(
+            jnp.asarray([[600.0, 0, 32, 0], [0, 600.0, 32, 0],
+                         [0, 0, 1, 3000.0]], jnp.float32), (1, 2, 3, 4))
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), imgs, proj, train=False)
+        inf = CDRNetInferencer(cfg, variables=variables)
+
+        stream = LoadMADSData(os.path.join(mads_root, "valid"),
+                              cfg.MODEL.IMAGE_SIZE, "HipHop")
+        e2_plain, e3_plain = inf.evaluate_movement(stream, batch_size=4)
+        frame = 128 * 96 * 3
+        e2_part, e3_part = inf.evaluate_movement(
+            stream, batch_size=4,
+            device_cache_bytes=10 * frame + frame // 2)
+        assert stream._device_cache.partial
+        np.testing.assert_allclose(e2_part, e2_plain, rtol=1e-5)
+        np.testing.assert_allclose(e3_part, e3_plain, rtol=1e-5)
+
 
 @pytest.mark.slow
 class TestScanEpoch:
