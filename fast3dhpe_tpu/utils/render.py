@@ -38,7 +38,7 @@ def render_prediction_frames(predict_batch, stream, max_frames: int,
     import cv2
     frames = []
     for batch in stream.batches(batch_size):
-        if len(frames) > max_frames:
+        if len(frames) >= max_frames:
             break
         pred_2d, pred_3d = predict_batch(
             batch["img_l"], batch["img_r"], batch["proj"])

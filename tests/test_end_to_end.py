@@ -121,7 +121,7 @@ class TestInferenceApps:
         out_jpg = str(tmp_path / "base_test.jpg")
         frames = est.render_frames(stream, 2, out_jpg=out_jpg,
                                    batch_size=4)
-        assert frames and os.path.isfile(out_jpg)
+        assert len(frames) == 2 and os.path.isfile(out_jpg)
         gif = str(tmp_path / "HipHop_base.gif")
         save_gif(frames, gif)
         assert os.path.isfile(gif)
