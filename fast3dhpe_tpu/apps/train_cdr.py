@@ -26,6 +26,10 @@ def main():
     parser.add_argument("--trace_dir", type=str, default=None,
                         help="capture a jax.profiler device trace of a "
                              "few steady-state steps here")
+    parser.add_argument("--retries", type=int, default=0,
+                        help="auto-resume from the last checkpoint after "
+                             "retryable backend crashes (preemptible / "
+                             "flaky TPU stacks), up to N times")
     args = parser.parse_args()
 
     from ..parallel.distributed import init_distributed
@@ -34,12 +38,14 @@ def main():
     enable_compilation_cache()   # warm runs skip the remote XLA compile
 
     config = load_config(args.config_path)
-    loop_cdr.run(config, overwrite=args.overwrite,
-                 weights_root=args.weights_root, seed=args.seed,
-                 compute_dtype="bfloat16" if args.bf16 else "float32",
-                 plot_dir=args.plot_dir, resume=args.resume,
-                 log_every=args.log_every,
-                 trace_dir=args.trace_dir)
+    from ..train.resilience import run_with_retries
+    run_with_retries(loop_cdr.run, config, retries=args.retries,
+                     overwrite=args.overwrite,
+                     weights_root=args.weights_root, seed=args.seed,
+                     compute_dtype="bfloat16" if args.bf16 else "float32",
+                     plot_dir=args.plot_dir, resume=args.resume,
+                     log_every=args.log_every,
+                     trace_dir=args.trace_dir)
 
 
 if __name__ == "__main__":

@@ -7,3 +7,4 @@ from .checkpoint import (  # noqa: F401
     save_checkpoint,
     restore_checkpoint,
 )
+from .resilience import run_with_retries  # noqa: F401

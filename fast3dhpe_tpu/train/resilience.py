@@ -1,0 +1,69 @@
+"""Crash-resilient training: retry a loop from its last checkpoint.
+
+The reference has no failure handling at all — a crash loses the run
+[ref: train.py:72-164 propagates everything]. On shared/preemptible TPU
+stacks the backend itself can die mid-run (observed on this relay as
+`JaxRuntimeError: UNAVAILABLE: TPU worker process crashed or
+restarted`). Both training loops already checkpoint a rolling "latest"
+(optimizer state + step + best metric included) and support
+`resume=True`; this wrapper turns that into automatic recovery: on an
+UNAVAILABLE-class backend failure it re-enters the loop with
+resume=True, losing at most `checkpoint_every - 1` epochs of work.
+
+Deliberately app-layer policy (not buried in the loops): the loops stay
+pure train logic; apps opt in with `--retries N`.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable
+
+#: substrings identifying retryable backend-infrastructure failures (the
+#: compute itself is deterministic — numerical errors must NOT retry)
+_RETRYABLE = ("UNAVAILABLE", "worker process crashed",
+              "socket closed", "DEADLINE_EXCEEDED")
+
+
+def is_retryable(exc: BaseException) -> bool:
+    msg = str(exc)
+    return any(s in msg for s in _RETRYABLE)
+
+
+def run_with_retries(run_fn: Callable, config, retries: int = 0,
+                     logger: logging.Logger = None, **kwargs):
+    """Call `run_fn(config, **kwargs)` (loop2d.run / loop_cdr.run),
+    retrying with resume=True after retryable backend crashes.
+
+    Args:
+      run_fn: a training loop entry point accepting (config, **kwargs)
+        with `resume` and `overwrite` keyword options.
+      retries: max automatic re-entries (0 = plain call).
+      kwargs: forwarded to run_fn; `resume`/`overwrite` of the FIRST
+        attempt come from here, later attempts force resume=True.
+    Returns:
+      run_fn's history dict (of the attempt that completed).
+    """
+    log = logger or logging.getLogger("fast3dhpe")
+    attempt = 0
+    while True:
+        try:
+            return run_fn(config, **kwargs)
+        except Exception as e:                # noqa: BLE001 — filtered
+            if attempt >= retries or not is_retryable(e):
+                raise
+            attempt += 1
+            # resume only if a rolling checkpoint exists yet; a crash
+            # before the first save restarts fresh (overwrite)
+            import os
+            latest = os.path.join(kwargs.get("weights_root", "weights"),
+                                  config.MODEL.NAME, "latest")
+            has_ckpt = os.path.isdir(latest)
+            log.warning(
+                "Backend failure (%s); %s (attempt %d/%d)",
+                str(e).splitlines()[0][:120],
+                "resuming from last checkpoint" if has_ckpt
+                else "no checkpoint yet - restarting fresh",
+                attempt, retries)
+            kwargs = dict(kwargs, resume=has_ckpt,
+                          overwrite=not has_ckpt)

@@ -50,7 +50,7 @@ def main():
 
     from fast3dhpe_tpu.config import config_from_dict
     from fast3dhpe_tpu.data.synthetic import make_synthetic_mads
-    from fast3dhpe_tpu.train import loop2d, loop_cdr
+    from fast3dhpe_tpu.train import loop2d, loop_cdr, run_with_retries
     from fast3dhpe_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
@@ -92,9 +92,12 @@ def main():
             "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSE"},
         })
         t0 = time.time()
-        hist2d = loop2d.run(cfg2d, overwrite=True, weights_root=weights,
-                            compute_dtype="bfloat16",
-                            checkpoint_every=args.checkpoint_every)
+        # the relay's TPU worker can die mid-run (observed); resume from
+        # the rolling checkpoint instead of losing the stage
+        hist2d = run_with_retries(
+            loop2d.run, cfg2d, retries=3, overwrite=True,
+            weights_root=weights, compute_dtype="bfloat16",
+            checkpoint_every=args.checkpoint_every)
         print(f"stage1 (2D, {args.epochs2d} ep, {time.time()-t0:.0f}s): "
               f"best val acc {max(hist2d['val_acc']):.3f}")
     if not os.path.isdir(stage1_ckpt):
@@ -118,9 +121,10 @@ def main():
         "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSESmooth"},
     })
     t0 = time.time()
-    hist = loop_cdr.run(cfg3d, overwrite=True, weights_root=weights,
-                        compute_dtype="bfloat16",
-                        checkpoint_every=args.checkpoint_every)
+    hist = run_with_retries(
+        loop_cdr.run, cfg3d, retries=3, overwrite=True,
+        weights_root=weights, compute_dtype="bfloat16",
+        checkpoint_every=args.checkpoint_every)
     post = hist["val_mpjpe_3d"][args.warmup + 1:] or hist["val_mpjpe_3d"]
     best = min(post)
     print(f"stage2 (CDR-{args.layers}, {args.epochs3d} ep, "

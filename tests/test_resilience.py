@@ -1,0 +1,97 @@
+"""run_with_retries: auto-resume policy after retryable backend crashes.
+
+Unit-level (fake run_fn) — the retry filter and resume/overwrite
+hand-off are pure host logic; the loops' actual resume path is covered
+by tests/test_end_to_end.py's resume tests.
+"""
+
+import os
+
+import pytest
+
+from fast3dhpe_tpu.train.resilience import run_with_retries, is_retryable
+
+
+class FakeCfg:
+    class MODEL:
+        NAME = "retry_model"
+
+
+def _unavailable():
+    return RuntimeError(
+        "UNAVAILABLE: TPU worker process crashed or restarted. This can "
+        "be caused by a kernel fault")
+
+
+class TestRetryFilter:
+    def test_unavailable_is_retryable(self):
+        assert is_retryable(_unavailable())
+
+    def test_numerical_errors_are_not(self):
+        assert not is_retryable(FloatingPointError("overflow"))
+        assert not is_retryable(ValueError("nan loss"))
+        assert not is_retryable(KeyboardInterrupt())
+
+
+class TestRunWithRetries:
+    def test_success_passes_through(self):
+        calls = []
+
+        def run(cfg, **kw):
+            calls.append(kw)
+            return {"ok": True}
+
+        out = run_with_retries(run, FakeCfg(), retries=2,
+                               overwrite=True, seed=3)
+        assert out == {"ok": True}
+        assert len(calls) == 1 and calls[0]["overwrite"] is True
+
+    def test_crash_then_resume_with_checkpoint(self, tmp_path):
+        wroot = str(tmp_path / "weights")
+        os.makedirs(os.path.join(wroot, "retry_model", "latest"))
+        calls = []
+
+        def run(cfg, **kw):
+            calls.append(dict(kw))
+            if len(calls) == 1:
+                raise _unavailable()
+            return {"resumed": kw["resume"]}
+
+        out = run_with_retries(run, FakeCfg(), retries=2,
+                               weights_root=wroot, overwrite=True)
+        assert out == {"resumed": True}
+        assert calls[0]["overwrite"] is True
+        assert calls[1]["resume"] is True and calls[1]["overwrite"] is False
+
+    def test_crash_before_first_checkpoint_restarts_fresh(self, tmp_path):
+        wroot = str(tmp_path / "weights")      # no latest/ dir
+        calls = []
+
+        def run(cfg, **kw):
+            calls.append(dict(kw))
+            if len(calls) == 1:
+                raise _unavailable()
+            return {}
+
+        run_with_retries(run, FakeCfg(), retries=1, weights_root=wroot,
+                         overwrite=True)
+        assert calls[1]["resume"] is False
+        assert calls[1]["overwrite"] is True
+
+    def test_retries_exhausted_raises(self):
+        def run(cfg, **kw):
+            raise _unavailable()
+
+        with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+            run_with_retries(run, FakeCfg(), retries=2)
+
+    def test_non_retryable_raises_immediately(self):
+        calls = []
+
+        def run(cfg, **kw):
+            calls.append(1)
+            raise ValueError("bad loss")
+
+        with pytest.raises(ValueError):
+            run_with_retries(run, FakeCfg(), retries=5)
+        assert len(calls) == 1
