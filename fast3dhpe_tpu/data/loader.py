@@ -285,6 +285,13 @@ class Stereo3DLoader:
         # tooling [ref: tools/visualize.py:35-63]); off in training
         self.return_masks = return_masks
 
+    def close(self):
+        """Shut down the decode pool. Loaders usually live for the whole
+        process, but bench/sweep code creating several per run should
+        release the threads promptly (the stream class had exactly this
+        leak before moving to the shared pool)."""
+        self._pool.shutdown(wait=False)
+
     def __len__(self):
         return _num_lockstep_batches(self._global_num, self.batch_size)
 
@@ -604,6 +611,10 @@ class Mono2DLoader:
         self._device_cache_budget = device_cache_bytes
         self._device_cache = None
         self._device_cache_failed = False
+
+    def close(self):
+        """Shut down the decode pool (see Stereo3DLoader.close)."""
+        self._pool.shutdown(wait=False)
 
     def __len__(self):
         return _num_lockstep_batches(self._global_num, self.batch_size)

@@ -51,7 +51,7 @@ def render_prediction_frames(predict_batch, stream, max_frames: int,
         gts_l = project_points_np(poses, P[:, 0])
         gts_r = project_points_np(poses, P[:, 1])
         for i in range(batch["n_valid"]):
-            if len(frames) > max_frames:
+            if len(frames) >= max_frames:
                 break
             img_l, img_r = batch["img_l"][i], batch["img_r"][i]
 

@@ -29,9 +29,15 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--layers", type=int, default=101)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (functional smoke run; "
+                         "JAX_PLATFORMS is ignored on this stack)")
+    ap.add_argument("--image", type=int, default=256)
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from fast3dhpe_tpu.config import config_from_dict
     from fast3dhpe_tpu.data.synthetic import make_synthetic_mads
     from fast3dhpe_tpu.data.loader import Stereo3DLoader
@@ -63,7 +69,7 @@ def main():
                     "CACHE_BYTES": 2 << 30},
         "MODEL": {"NUM_JOINTS": 19, "NUM_LAYERS": args.layers,
                   "NAME": "pcb", "PRETRAINED": "",
-                  "IMAGE_SIZE": [256, 256],
+                  "IMAGE_SIZE": [args.image, args.image],
                   "EXTRA": {"TARGET_TYPE": "gaussian", "SIGMA": 3,
                             "HEATMAP_SIZE": [64, 64]}},
         "TRAIN": {"BATCH_SIZE": args.batch, "EPOCH": 1, "LR": 1e-4,
@@ -74,18 +80,19 @@ def main():
     })
 
     model = CDRNet.from_config(cfg, dtype=jnp.bfloat16)
-    imgs = jnp.zeros((args.batch, 2, 256, 256, 3), jnp.float32)
+    imgs = jnp.zeros((args.batch, 2, args.image, args.image, 3),
+                     jnp.float32)
     projs = jnp.broadcast_to(
-        jnp.asarray([[1100.0, 0, 128, 0], [0, 1100.0, 128, 0],
+        jnp.asarray([[1100.0, 0, args.image / 2, 0], [0, 1100.0, args.image / 2, 0],
                      [0, 0, 1, 3000.0]], jnp.float32),
         (args.batch, 2, 3, 4))
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), imgs, projs, train=True)
-    tx = make_optimizer(lambda _: 1e-4)
-    state = TrainState.create(
-        apply_fn=model.apply, params=variables["params"],
-        batch_stats=variables["batch_stats"], tx=tx)
-    step = make_train_step_cdr(model, make_loss(cfg))
+    tx = make_optimizer(cfg, steps_per_epoch=max(
+        1, args.frames // args.batch))
+    state = TrainState.create(variables, tx)
+    step = make_train_step_cdr(model, make_loss(
+        cfg.LOSS.TYPE, cfg.LOSS.USE_TARGET_WEIGHT))
     use_3d = jnp.asarray(True)
 
     for name, budget in budgets.items():
@@ -109,6 +116,7 @@ def main():
         dt = time.perf_counter() - t0
         print(f"# {name:20s} [{mode:7s}] {n / dt:7.1f} pairs/s "
               f"({dt:.1f}s, {n} pairs)")
+        loader.close()
 
 
 if __name__ == "__main__":
