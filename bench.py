@@ -225,23 +225,10 @@ def bench_infer_loop(B=64, n_frames=256, dtype=jnp.bfloat16, epochs=3):
 
 
 def _measure_scan_floor(iters=50):
-    """Per-iteration fixed cost of a serializing lax.scan with a trivial
-    body on this backend, measured the same way as the model scans.
-    Subtracting it separates true model latency from the scan/dispatch
-    machinery that contaminates small-batch numbers."""
-    x0 = jnp.zeros((8, 128), jnp.float32)
-
-    def run_n(x):
-        def body(carry, _):
-            return carry * 1.0000001 + 1e-9, ()
-        x, _ = jax.lax.scan(body, x, None, length=iters)
-        return jnp.sum(x)
-
-    g = jax.jit(run_n)
-    float(g(x0))                       # compile + warm
-    t0 = time.perf_counter()
-    float(g(x0))
-    return (time.perf_counter() - t0) / iters
+    """Shared methodology: utils.profiling.measure_scan_floor (one
+    baseline for bench.py and scripts/bottleneck_variant_bench.py)."""
+    from fast3dhpe_tpu.utils.profiling import measure_scan_floor
+    return measure_scan_floor(iters=iters)
 
 
 def bench_latency(batch_sizes=(1, 4, 16), iters=50, dtype=jnp.bfloat16):

@@ -87,25 +87,11 @@ class BaselineEstimator:
 
         self._predict_eval = _predict_eval
 
-        @jax.jit
-        def _predict_eval_cached(variables, frames, idx_l, idx_r, trans,
-                                 proj, pose_3d, vis):
-            # device-resident frames (stream.build_device_cache): gather
-            # by index, then the identical eval path; `frames` is an
-            # argument, never closed over (compile-request size limit)
-            img_l = jnp.take(frames, jnp.asarray(idx_l, jnp.int32), axis=0)
-            img_r = jnp.take(frames, jnp.asarray(idx_r, jnp.int32), axis=0)
-            return _predict_eval(variables, img_l, img_r, trans, proj,
-                                 pose_3d, vis)
-
-        @jax.jit
-        def _accum_eval(tot2, tot3, n, e2, e3, k):
-            m = (jnp.arange(e2.shape[0]) < k).astype(e2.dtype)
-            return (tot2 + jnp.sum(e2 * m), tot3 + jnp.sum(e3 * m),
-                    n + jnp.asarray(k, jnp.float32))
-
-        self._predict_eval_cached = _predict_eval_cached
-        self._accum_eval = _accum_eval
+        # gather-from-HBM wrapper + masked accumulator shared with the
+        # CDRNet inferencer (apps.eval_loop)
+        from .eval_loop import make_cached_eval, accum_eval
+        self._predict_eval_cached = make_cached_eval(_predict_eval)
+        self._accum_eval = accum_eval
 
     def predict_batch(self, img_l, img_r, proj, trans=None):
         """Returns (pred_2d (B, 2, J, 2), pred_3d (B, J, 3)).
@@ -138,37 +124,12 @@ class BaselineEstimator:
                           ) -> Tuple[float, float]:
         """Sequence-average MPJPE2D/MPJPE3D [ref: baseline.py:133-134].
 
-        Device-side accumulation + optional HBM frame cache, same loop
-        structure as CDRNetInferencer.evaluate_movement."""
-        tot2 = tot3 = n = jnp.zeros((), jnp.float32)
-        identity = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
-        for batch in stream.batches(batch_size, device_warp=True,
-                                    device_cache_bytes=device_cache_bytes):
-            pose_3d = batch["pose_3d"]
-            vis = np.logical_and.reduce(
-                ~np.isnan(pose_3d), axis=2).astype(np.float32)
-            pose_3d = np.nan_to_num(pose_3d).astype(np.float32)
-            if "frames" in batch:
-                e2, e3 = self._predict_eval_cached(
-                    self.variables, batch["frames"], batch["idx_l"],
-                    batch["idx_r"], jnp.asarray(batch["trans"]),
-                    jnp.asarray(batch["proj"]), jnp.asarray(pose_3d),
-                    jnp.asarray(vis))
-            else:
-                trans = batch.get("trans")
-                if trans is None:     # frames already cropped on host
-                    trans = np.broadcast_to(identity,
-                                            (pose_3d.shape[0], 2, 3))
-                e2, e3 = self._predict_eval(
-                    self.variables, jnp.asarray(batch["img_l"]),
-                    jnp.asarray(batch["img_r"]), jnp.asarray(trans),
-                    jnp.asarray(batch["proj"]), jnp.asarray(pose_3d),
-                    jnp.asarray(vis))
-            tot2, tot3, n = self._accum_eval(tot2, tot3, n, e2, e3,
-                                             batch["n_valid"])
-        tot2, tot3, n = jax.device_get((tot2, tot3, n))
-        return float(tot2) / max(float(n), 1.0), \
-            float(tot3) / max(float(n), 1.0)
+        Device-side accumulation + optional HBM frame cache, shared loop
+        with CDRNetInferencer.evaluate_movement (apps.eval_loop)."""
+        from .eval_loop import evaluate_stream
+        return evaluate_stream(self.variables, self._predict_eval,
+                               self._predict_eval_cached, stream,
+                               batch_size, device_cache_bytes)
 
     def render_frames(self, stream: LoadMADSData, max_frames: int,
                       out_jpg: str = "test.jpg", batch_size: int = 32):

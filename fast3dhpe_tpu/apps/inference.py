@@ -80,26 +80,11 @@ class CDRNetInferencer:
                                       gt_l, gt_r, vis)
             return e2, e3
 
-        @jax.jit
-        def _predict_eval_cached(variables, frames, idx_l, idx_r, trans,
-                                 proj, pose_3d, vis):
-            # device-resident frames (stream.build_device_cache): gather
-            # the batch by index, then the identical eval path. `frames`
-            # is an ARGUMENT (closing over it would bake it into the
-            # graph and blow the relay's compile-request size limit).
-            img_l = jnp.take(frames, jnp.asarray(idx_l, jnp.int32), axis=0)
-            img_r = jnp.take(frames, jnp.asarray(idx_r, jnp.int32), axis=0)
-            return _predict_eval(variables, img_l, img_r, trans, proj,
-                                 pose_3d, vis)
-
-        @jax.jit
-        def _accum_eval(tot2, tot3, n, e2, e3, k):
-            # masked device-side accumulation: padded rows (>= n_valid)
-            # never count, and the loop stays free of per-batch host
-            # syncs — one fetch at the end of the movement
-            m = (jnp.arange(e2.shape[0]) < k).astype(e2.dtype)
-            return (tot2 + jnp.sum(e2 * m), tot3 + jnp.sum(e3 * m),
-                    n + jnp.asarray(k, jnp.float32))
+        # gather-from-HBM wrapper + masked accumulator are shared with
+        # the baseline app (apps.eval_loop)
+        from .eval_loop import make_cached_eval, accum_eval
+        _predict_eval_cached = make_cached_eval(_predict_eval)
+        _accum_eval = accum_eval
 
         @jax.jit
         def _eval_movement_scan(variables, frames, idx_l, idx_r, trans,
@@ -169,49 +154,36 @@ class CDRNetInferencer:
                 vis = np.logical_and.reduce(
                     ~np.isnan(poses), axis=3).astype(np.float32)
                 poses = np.nan_to_num(poses).astype(np.float32)
+                il = np.stack([b["idx_l"] for b in batches])
+                ir = np.stack([b["idx_r"] for b in batches])
+                tr = np.stack([b["trans"] for b in batches])
+                pj = np.stack([b["proj"] for b in batches]).astype(
+                    np.float32)
+                nv = np.asarray([b["n_valid"] for b in batches],
+                                np.float32)
+                # bucket the scan length: movements of different batch
+                # counts S would each recompile the whole scan (minutes
+                # on a relay link); zero-valid filler batches (masked
+                # out by _accum_eval) cost ~one step of compute each,
+                # and a multiple-of-8 S reuses one compiled graph for
+                # `--movement all` and across runs
+                pad = (-len(batches)) % 8
+                if pad:
+                    def _p(a):
+                        return np.concatenate(
+                            [a, np.repeat(a[-1:], pad, axis=0)])
+                    il, ir, tr, pj = _p(il), _p(ir), _p(tr), _p(pj)
+                    poses, vis = _p(poses), _p(vis)
+                    nv = np.concatenate([nv, np.zeros(pad, np.float32)])
                 t2, t3, nn = jax.device_get(self._eval_movement_scan(
-                    self.variables, cache.frames,
-                    np.stack([b["idx_l"] for b in batches]),
-                    np.stack([b["idx_r"] for b in batches]),
-                    np.stack([b["trans"] for b in batches]),
-                    np.stack([b["proj"] for b in batches]).astype(
-                        np.float32),
-                    poses, vis,
-                    np.asarray([b["n_valid"] for b in batches],
-                               np.float32)))
+                    self.variables, cache.frames, il, ir, tr, pj,
+                    poses, vis, nv))
                 return (float(t2) / max(float(nn), 1.0),
                         float(t3) / max(float(nn), 1.0))
-        tot2 = tot3 = n = jnp.zeros((), jnp.float32)
-        identity = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
-        for batch in stream.batches(batch_size, device_warp=True,
-                                    device_cache_bytes=device_cache_bytes):
-            pose_3d = batch["pose_3d"]
-            vis = np.logical_and.reduce(
-                ~np.isnan(pose_3d), axis=2).astype(np.float32)
-            pose_3d = np.nan_to_num(pose_3d).astype(np.float32)
-            if "frames" in batch:
-                e2, e3 = self._predict_eval_cached(
-                    self.variables, batch["frames"], batch["idx_l"],
-                    batch["idx_r"], jnp.asarray(batch["trans"]),
-                    jnp.asarray(batch["proj"]), jnp.asarray(pose_3d),
-                    jnp.asarray(vis))
-            else:
-                # host-warp fallback batches carry no trans: frames are
-                # already cropped, so the device crop is the identity
-                trans = batch.get("trans")
-                if trans is None:
-                    trans = np.broadcast_to(
-                        identity, (pose_3d.shape[0], 2, 3))
-                e2, e3 = self._predict_eval(
-                    self.variables, jnp.asarray(batch["img_l"]),
-                    jnp.asarray(batch["img_r"]), jnp.asarray(trans),
-                    jnp.asarray(batch["proj"]), jnp.asarray(pose_3d),
-                    jnp.asarray(vis))
-            tot2, tot3, n = self._accum_eval(tot2, tot3, n, e2, e3,
-                                             batch["n_valid"])
-        tot2, tot3, n = jax.device_get((tot2, tot3, n))
-        return float(tot2) / max(float(n), 1.0), \
-            float(tot3) / max(float(n), 1.0)
+        from .eval_loop import evaluate_stream
+        return evaluate_stream(self.variables, self._predict_eval,
+                               self._predict_eval_cached, stream,
+                               batch_size, device_cache_bytes)
 
     def render_frames(self, stream: LoadMADSData, max_frames: int,
                       out_jpg: str = "test.jpg", batch_size: int = 32):

@@ -73,7 +73,8 @@ class DeviceFrameCache:
     def build(cls, paths: Sequence[str], decode_batch,
               budget_bytes: int, mesh=None, chunk_frames: int = 64,
               allow_partial: bool = False,
-              pair_stride: int = 1) -> Optional["DeviceFrameCache"]:
+              pair_stride: int = 1,
+              pad_frames_to: int = 1) -> Optional["DeviceFrameCache"]:
         """Decode `paths` (deduplicated, order-preserving) and upload.
 
         Args:
@@ -95,6 +96,12 @@ class DeviceFrameCache:
             this many unique paths, so grouped frames (a stereo pair's
             left+right, adjacent in `paths`) are either both resident or
             both missing.
+          pad_frames_to: round the resident row count UP to this
+            multiple with zero frames (full caches within budget only).
+            Jitted consumers specialize on the frame array's shape; a
+            per-movement N means a full remote recompile per movement
+            (minutes on a relay link) where a bucketed N reuses one
+            graph for ≤ pad_frames_to-1 frames of HBM slack.
         Returns:
           DeviceFrameCache, or None (over budget with allow_partial=False
           / mixed frame sizes / nothing fits) — callers must fall back to
@@ -133,12 +140,26 @@ class DeviceFrameCache:
                 decoded = [probe] + rest
             else:
                 decoded = decode_batch(batch_paths)
+            # mixed sizes -> fallback; check BEFORE np.stack, which
+            # raises ValueError on ragged inputs (MPII-style variable
+            # frames must reach the documented None return, not a crash)
+            if any(d.shape != (h, w, c) for d in decoded):
+                return None
             arr = np.stack(decoded)
-            if arr.shape[1:] != (h, w, c):
-                return None                      # mixed sizes -> fallback
             chunks.append(jax.device_put(arr, sharding)
                           if sharding is not None else jax.device_put(arr))
             start += chunk_frames
+
+        pad_rows = 0
+        if pad_frames_to > 1 and not partial:
+            pad_rows = (-len(unique)) % pad_frames_to
+            if (budget_bytes and
+                    (len(unique) + pad_rows) * h * w * c > budget_bytes):
+                pad_rows = 0                 # shape bucketing is a perf
+        if pad_rows:                         # opt — never break budget
+            pad = np.zeros((pad_rows, h, w, c), np.uint8)
+            chunks.append(jax.device_put(pad, sharding)
+                          if sharding is not None else jax.device_put(pad))
 
         if len(chunks) == 1:
             frames = chunks[0]

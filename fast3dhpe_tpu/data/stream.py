@@ -68,10 +68,14 @@ class LoadMADSData:
             # frame together (pair_stride=2)
             paths = [p for m in self.metadata
                      for p in (m["left_img_path"], m["right_img_path"])]
+            # pad_frames_to buckets the resident array's N so jitted
+            # consumers (the whole-movement eval scan) reuse one
+            # compiled graph across movements of different lengths
             cache = DeviceFrameCache.build(paths, self._decoder,
                                            budget_bytes,
                                            allow_partial=True,
-                                           pair_stride=2)
+                                           pair_stride=2,
+                                           pad_frames_to=64)
             if cache is None:
                 self._device_cache_failed = True
             self._device_cache = cache

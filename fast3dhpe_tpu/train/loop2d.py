@@ -74,6 +74,19 @@ def _tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
 
+def _stack_segment(xs_list, E_full):
+    """Stack E epochs of stacked-epoch metadata into one (E_full, S, ...)
+    tree for a segment dispatch, padding ragged segments by repeating
+    the last epoch (cond-skipped on device via epoch_valid — see
+    steps.make_segment_cdr). Returns (seq, epoch_valid, n_valid)."""
+    n_valid = int(sum(x["row_valid"].sum() for x in xs_list))
+    E = len(xs_list)
+    xs_list = xs_list + [xs_list[-1]] * (E_full - E)
+    epoch_valid = np.arange(E_full) < E
+    seq = {k: np.stack([x[k] for x in xs_list]) for k in xs_list[0]}
+    return seq, epoch_valid, n_valid
+
+
 def _restore_state(model_path, state, logger):
     """Resume from <model_path>/latest; returns (state, start_step,
     best_metric or None)."""
@@ -170,6 +183,9 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     # frames are resident in HBM (see loop_cdr.run docstring)
     scan_allowed = (scan_epochs is not False and log_every is None
                     and trace_dir is None)
+    if scan_epochs and not scan_allowed:
+        logger.info("scan_epochs=True ignored: log_every/trace_dir need "
+                    "the per-batch loop")
     train_epoch_fn = eval_epoch_fn = segment_fn = None
     if scan_allowed and (scan_epochs
                          or config.DATASET.DEVICE_CACHE_BYTES):
@@ -208,6 +224,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
 
     n_epochs = max_epochs if max_epochs is not None else config.TRAIN.EPOCH
     best_state, best_dirty = state, False
+    ev_stacked_saved = None
     history = {"train_loss": [], "val_loss": [], "train_acc": [],
                "val_acc": [], "train_imgs_per_sec": []}
     meter = ThroughputMeter(window=max(50, 2 * (log_every or 1)))
@@ -230,6 +247,10 @@ def run(config: Config, mesh=None, overwrite: bool = False,
             from ..parallel import shard_stacked
             vxs = shard_stacked(mesh, vxs)
         best_acc_dev = jnp.asarray(best_acc, jnp.float32)
+        # fixed segment length: pad ragged segments with cond-skipped
+        # epochs so one compiled graph serves every dispatch (see
+        # loop_cdr._run_segments)
+        E_full = min(checkpoint_every, n_epochs) or 1
         epoch = start_epoch
         while epoch < n_epochs:
             boundary = min((epoch // checkpoint_every + 1)
@@ -242,16 +263,14 @@ def run(config: Config, mesh=None, overwrite: bool = False,
             for _ in range(E):
                 tcache, xs, _ = train_loader.stacked_epoch()
                 xs_list.append(_epoch_slice(xs))
-            seq = {k: np.stack([x[k] for x in xs_list])
-                   for k in xs_list[0]}
-            n_imgs = int(seq["row_valid"].sum())
+            seq, epoch_valid, n_imgs = _stack_segment(xs_list, E_full)
             S = seq["idx"].shape[1]
             if mesh is not None:
                 from ..parallel import shard_stacked
                 seq = shard_stacked(mesh, seq, lead=2)
             state, best_state, best_acc_dev, ms = segment_fn(
                 state, best_state, best_acc_dev, tcache.frames,
-                vcache.frames, seq, vxs)
+                vcache.frames, seq, vxs, jnp.asarray(epoch_valid))
             msh = jax.device_get(ms)     # the segment's one true sync
             meter.step(n_imgs)
             global_step += E * S
@@ -341,7 +360,10 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                 tl, ta = float(tr["loss"]) / max(n, 1), float(tr["acc"]) / max(n, 1)
                 train_ips = meter.samples_per_sec
 
-                ev_stacked = _try_stacked(valid_loader)
+                # eval metadata is epoch-invariant: stack + upload once
+                if ev_stacked_saved is None:
+                    ev_stacked_saved = _try_stacked(valid_loader)
+                ev_stacked = ev_stacked_saved
                 if ev_stacked is not None:
                     vcache, vxs, _, _, _ = ev_stacked
                     ev = jax.device_get(

@@ -34,7 +34,8 @@ from .steps import (make_train_step_cdr, make_eval_step_cdr,
                     make_segment_cdr)
 from .checkpoint import (save_checkpoint, load_variables,
                          merge_encoder_only)
-from .loop2d import _prepare_model_dir, _state_tree, _tree_add, _restore_state
+from .loop2d import (_prepare_model_dir, _state_tree, _tree_add,
+                     _restore_state, _stack_segment)
 from ..utils.logging import setup_logger
 from ..utils.profiling import StepTracer, ThroughputMeter
 from ..utils.interrupt import interruptible
@@ -135,6 +136,9 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     # frames are resident in HBM (auto; see docstring)
     scan_allowed = (scan_epochs is not False and log_every is None
                     and trace_dir is None)
+    if scan_epochs and not scan_allowed:
+        logger.info("scan_epochs=True ignored: log_every/trace_dir need "
+                    "the per-batch loop")
     train_epoch_fn = eval_epoch_fn = segment_fn = None
     if scan_allowed and (scan_epochs
                          or config.DATASET.DEVICE_CACHE_BYTES):
@@ -185,6 +189,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     n_epochs = max_epochs if max_epochs is not None else config.TRAIN.EPOCH
     warmup = config.TRAIN.WARMUP
     best_state, best_dirty = state, False
+    ev_stacked_saved = None
     history = {"train_loss": [], "val_loss": [], "val_mpjpe_3d": [],
                "val_mpjpe_2d": [], "grad_norm": [],
                "train_pairs_per_sec": []}
@@ -210,6 +215,12 @@ def run(config: Config, mesh=None, overwrite: bool = False,
             from ..parallel import shard_stacked
             vxs = shard_stacked(mesh, vxs)
         best_err_dev = jnp.asarray(best_err, jnp.float32)
+        # every dispatch uses the SAME segment length E_full: ragged
+        # final / resume-offset segments are padded with repeated (and
+        # cond-skipped) epochs so one compiled graph serves the whole
+        # run — a second length would recompile the largest program in
+        # the codebase (minutes on the dev relay)
+        E_full = min(checkpoint_every, n_epochs) or 1
         epoch = start_epoch
         while epoch < n_epochs:
             boundary = min((epoch // checkpoint_every + 1)
@@ -222,16 +233,15 @@ def run(config: Config, mesh=None, overwrite: bool = False,
             for _ in range(E):
                 tcache, xs, _ = train_loader.stacked_epoch()
                 xs_list.append(_epoch_slice(xs))
-            seq = {k: np.stack([x[k] for x in xs_list])
-                   for k in xs_list[0]}
-            n_pairs = int(seq["row_valid"].sum())
+            seq, epoch_valid, n_pairs = _stack_segment(xs_list, E_full)
             S = seq["idx_l"].shape[1]
             if mesh is not None:
                 from ..parallel import shard_stacked
                 seq = shard_stacked(mesh, seq, lead=2)
             state, best_state, best_err_dev, ms = segment_fn(
                 state, best_state, best_err_dev, tcache.frames,
-                vcache.frames, seq, vxs, jnp.asarray(epoch))
+                vcache.frames, seq, vxs, jnp.asarray(epoch),
+                jnp.asarray(epoch_valid))
             msh = jax.device_get(ms)     # the segment's one true sync
             meter.step(n_pairs)
             global_step += E * S
@@ -335,7 +345,11 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                 gn = float(tr["grad_norm"]) / max(n, 1)
                 train_pps = meter.samples_per_sec
 
-                ev_stacked = _try_stacked(valid_loader)
+                # eval metadata is epoch-invariant (no augmentation):
+                # stack + upload it once, not once per epoch
+                if ev_stacked_saved is None:
+                    ev_stacked_saved = _try_stacked(valid_loader)
+                ev_stacked = ev_stacked_saved
                 if ev_stacked is not None:
                     vcache, vxs, _, _, _ = ev_stacked
                     ev = jax.device_get(

@@ -347,7 +347,7 @@ def make_segment_cdr(model, loss_fn, image_size, occlusion=None,
     leaves the device except at checkpoint boundaries.
 
     segment(state, best_state, best_err, t_frames, v_frames, xs_seq,
-            vxs, epoch0) -> (state, best_state, best_err, ms)
+            vxs, epoch0, epoch_valid) -> (state, best_state, best_err, ms)
       xs_seq: dict of (E, S, B, ...) train metadata (E stacked
         Stereo3DLoader.stacked_epoch results — same RandomState sequence
         as E sequential epochs);
@@ -355,11 +355,19 @@ def make_segment_cdr(model, loss_fn, image_size, occlusion=None,
       epoch0: int32 scalar, global index of the segment's first epoch
         (drives the warmup switch + the per-epoch occlusion PRNG key,
         PRNGKey(seed*10007 + ep) — identical to the scan-epoch path);
+      epoch_valid: (E,) bool — False rows are PADDING epochs that leave
+        state/best untouched and cost (almost) nothing: the loops pad
+        every segment to a fixed E = checkpoint_every so ragged final /
+        resume-offset segments reuse the one compiled graph instead of
+        recompiling the largest program in the codebase (minutes on the
+        dev relay) for each distinct length. A lax.cond skips the
+        epoch's scans entirely on padding rows;
       best_state/best_err: running best (pass the current state and +inf
         initially; per reference semantics best only updates when
         epoch > warmup [ref: train_cdr.py:223-228]);
       ms: per-epoch stacked metrics {"train": sums over S,
-        "eval": {loss_sum, e2_sum, e3_sum, n}, "improved": (E,) bool}.
+        "eval": {loss_sum, e2_sum, e3_sum, n}, "improved": (E,) bool}
+        (zeros on padding rows — hosts must only read the valid prefix).
     """
     from ..data.device_pipeline import preprocess_stereo_batch_cached
     step = make_train_step_cdr(model, loss_fn,
@@ -374,53 +382,71 @@ def make_segment_cdr(model, loss_fn, image_size, occlusion=None,
 
     @jax.jit
     def segment(state: TrainState, best_state: TrainState, best_err,
-                t_frames, v_frames, xs_seq, vxs, epoch0):
-        def epoch_body(carry, exs):
+                t_frames, v_frames, xs_seq, vxs, epoch0, epoch_valid):
+        def epoch_body(carry, inp):
+            exs, valid = inp
             st, ep, best_st, berr = carry
             use_3d = ep >= warmup
             epoch_key = jax.random.PRNGKey(seed * 10007 + ep)
 
-            def tbody(c, x):
-                s, i = c
-                key = jax.random.fold_in(epoch_key, i)
-                batch = preprocess_stereo_batch_cached(
-                    key, t_frames, x["idx_l"], x["idx_r"], x["trans"],
-                    x["P_l"], x["P_r"], x["pose_3d"], x["joints_vis"],
-                    image_size=image_size, occlusion=occlusion,
-                    train=True)
-                batch["row_valid"] = x["row_valid"]
-                s, m = step(s, batch, use_3d)
-                return (s, i + 1), m
+            def run_epoch(op):
+                st, best_st, berr = op
 
-            (st, _), tms = jax.lax.scan(tbody, (st, jnp.asarray(0)), exs)
-            tsum = jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0),
-                                          tms)
+                def tbody(c, x):
+                    s, i = c
+                    key = jax.random.fold_in(epoch_key, i)
+                    batch = preprocess_stereo_batch_cached(
+                        key, t_frames, x["idx_l"], x["idx_r"], x["trans"],
+                        x["P_l"], x["P_r"], x["pose_3d"], x["joints_vis"],
+                        image_size=image_size, occlusion=occlusion,
+                        train=True)
+                    batch["row_valid"] = x["row_valid"]
+                    s, m = step(s, batch, use_3d)
+                    return (s, i + 1), m
 
-            def ebody(c, x):
-                batch = preprocess_stereo_batch_cached(
-                    epoch_key, v_frames, x["idx_l"], x["idx_r"],
-                    x["trans"], x["P_l"], x["P_r"], x["pose_3d"],
-                    x["joints_vis"], image_size=image_size,
-                    occlusion=None, train=False)
-                batch["row_valid"] = x["row_valid"]
-                m = estep(st, batch, use_3d)
-                return c, {"loss_sum": m["loss_sum"],
-                           "e2_sum": m["e2_sum"],
-                           "e3_sum": m["e3_sum"], "n": m["n"]}
+                (st, _), tms = jax.lax.scan(tbody, (st, jnp.asarray(0)),
+                                            exs)
+                tsum = jax.tree_util.tree_map(
+                    lambda v: jnp.sum(v, axis=0), tms)
 
-            _, ems = jax.lax.scan(ebody, 0, vxs)
-            esum = jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0),
-                                          ems)
-            e3 = esum["e3_sum"] / jnp.maximum(esum["n"], 1.0)
-            improved = (e3 < berr) & (ep > warmup)
-            best_st = jax.tree_util.tree_map(
-                lambda b, c: jnp.where(improved, c, b), best_st, st)
-            berr = jnp.where(improved, e3, berr)
-            ms = {"train": tsum, "eval": esum, "improved": improved}
+                def ebody(c, x):
+                    batch = preprocess_stereo_batch_cached(
+                        epoch_key, v_frames, x["idx_l"], x["idx_r"],
+                        x["trans"], x["P_l"], x["P_r"], x["pose_3d"],
+                        x["joints_vis"], image_size=image_size,
+                        occlusion=None, train=False)
+                    batch["row_valid"] = x["row_valid"]
+                    m = estep(st, batch, use_3d)
+                    return c, {"loss_sum": m["loss_sum"],
+                               "e2_sum": m["e2_sum"],
+                               "e3_sum": m["e3_sum"], "n": m["n"]}
+
+                _, ems = jax.lax.scan(ebody, 0, vxs)
+                esum = jax.tree_util.tree_map(
+                    lambda v: jnp.sum(v, axis=0), ems)
+                e3 = esum["e3_sum"] / jnp.maximum(esum["n"], 1.0)
+                improved = (e3 < berr) & (ep > warmup)
+                best_st = jax.tree_util.tree_map(
+                    lambda b, c: jnp.where(improved, c, b), best_st, st)
+                berr = jnp.where(improved, e3, berr)
+                ms = {"train": tsum, "eval": esum, "improved": improved}
+                return (st, best_st, berr), ms
+
+            # padding epochs (ragged final segment / resume offset): skip
+            # the scans via cond so the fixed-E graph is reused at ~zero
+            # compute; metric structure derived by abstract eval so the
+            # skip branch tracks any future metric additions
+            zeros_ms = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(run_epoch, (st, best_st, berr))[1])
+            (st, best_st, berr), ms = jax.lax.cond(
+                valid, run_epoch, lambda op: (op, zeros_ms),
+                (st, best_st, berr))
             return (st, ep + 1, best_st, berr), ms
 
         (state, _, best_state, best_err), ms = jax.lax.scan(
-            epoch_body, (state, epoch0, best_state, best_err), xs_seq)
+            epoch_body, (state, epoch0, best_state, best_err),
+            (xs_seq, epoch_valid))
         return state, best_state, best_err, ms
 
     return segment
@@ -433,7 +459,9 @@ def make_segment_2d(model, loss_fn, image_size, heatmap_size,
     (maximize, no warmup gate [ref: train.py:150-155]).
 
     segment(state, best_state, best_acc, t_frames, v_frames, xs_seq,
-            vxs) -> (state, best_state, best_acc, ms)
+            vxs, epoch_valid) -> (state, best_state, best_acc, ms)
+      epoch_valid: (E,) bool — padding rows (see make_segment_cdr) are
+      skipped via cond and report zero metrics / improved=False.
       ms per-epoch: {"train": sums, "eval": {loss_sum, hits, cnt, n},
       "val_acc": (E,), "improved": (E,) bool}.
     """
@@ -445,46 +473,61 @@ def make_segment_2d(model, loss_fn, image_size, heatmap_size,
 
     @jax.jit
     def segment(state: TrainState, best_state: TrainState, best_acc,
-                t_frames, v_frames, xs_seq, vxs):
-        def epoch_body(carry, exs):
+                t_frames, v_frames, xs_seq, vxs, epoch_valid):
+        def epoch_body(carry, inp):
+            exs, valid = inp
             st, best_st, bacc = carry
 
-            def tbody(s, x):
-                batch = preprocess_mono_batch_cached(
-                    t_frames, x["idx"], x["flip"], x["trans"],
-                    x["joints"], x["vis"], image_size=image_size,
-                    heatmap_size=heatmap_size, sigma=sigma)
-                batch["row_valid"] = x["row_valid"]
-                return step(s, batch)
+            def run_epoch(op):
+                st, best_st, bacc = op
 
-            st, tms = jax.lax.scan(tbody, st, exs)
-            tsum = jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0),
-                                          tms)
+                def tbody(s, x):
+                    batch = preprocess_mono_batch_cached(
+                        t_frames, x["idx"], x["flip"], x["trans"],
+                        x["joints"], x["vis"], image_size=image_size,
+                        heatmap_size=heatmap_size, sigma=sigma)
+                    batch["row_valid"] = x["row_valid"]
+                    return step(s, batch)
 
-            def ebody(c, x):
-                batch = preprocess_mono_batch_cached(
-                    v_frames, x["idx"], x["flip"], x["trans"],
-                    x["joints"], x["vis"], image_size=image_size,
-                    heatmap_size=heatmap_size, sigma=sigma)
-                batch["row_valid"] = x["row_valid"]
-                m = estep(st, batch)
-                return c, {"loss_sum": m["loss_sum"], "hits": m["hits"],
-                           "cnt": m["cnt"], "n": m["n"]}
+                st, tms = jax.lax.scan(tbody, st, exs)
+                tsum = jax.tree_util.tree_map(
+                    lambda v: jnp.sum(v, axis=0), tms)
 
-            _, ems = jax.lax.scan(ebody, 0, vxs)
-            esum = jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0),
-                                          ems)
-            va, _ = pck_from_counts(esum["hits"], esum["cnt"])
-            improved = va > bacc
-            best_st = jax.tree_util.tree_map(
-                lambda b, c: jnp.where(improved, c, b), best_st, st)
-            bacc = jnp.where(improved, va, bacc)
-            ms = {"train": tsum, "eval": esum, "val_acc": va,
-                  "improved": improved}
+                def ebody(c, x):
+                    batch = preprocess_mono_batch_cached(
+                        v_frames, x["idx"], x["flip"], x["trans"],
+                        x["joints"], x["vis"], image_size=image_size,
+                        heatmap_size=heatmap_size, sigma=sigma)
+                    batch["row_valid"] = x["row_valid"]
+                    m = estep(st, batch)
+                    return c, {"loss_sum": m["loss_sum"],
+                               "hits": m["hits"],
+                               "cnt": m["cnt"], "n": m["n"]}
+
+                _, ems = jax.lax.scan(ebody, 0, vxs)
+                esum = jax.tree_util.tree_map(
+                    lambda v: jnp.sum(v, axis=0), ems)
+                va, _ = pck_from_counts(esum["hits"], esum["cnt"])
+                improved = va > bacc
+                best_st = jax.tree_util.tree_map(
+                    lambda b, c: jnp.where(improved, c, b), best_st, st)
+                bacc = jnp.where(improved, va, bacc)
+                ms = {"train": tsum, "eval": esum, "val_acc": va,
+                      "improved": improved}
+                return (st, best_st, bacc), ms
+
+            # padding rows skip both scans (see make_segment_cdr)
+            zeros_ms = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(run_epoch, (st, best_st, bacc))[1])
+            (st, best_st, bacc), ms = jax.lax.cond(
+                valid, run_epoch, lambda op: (op, zeros_ms),
+                (st, best_st, bacc))
             return (st, best_st, bacc), ms
 
         (state, best_state, best_acc), ms = jax.lax.scan(
-            epoch_body, (state, best_state, best_acc), xs_seq)
+            epoch_body, (state, best_state, best_acc),
+            (xs_seq, epoch_valid))
         return state, best_state, best_acc, ms
 
     return segment

@@ -27,6 +27,33 @@ def sync(tree) -> None:
         np.asarray(jax.device_get(leaves[0].ravel()[0]))
 
 
+def measure_scan_floor(iters: int = 50) -> float:
+    """Per-iteration fixed cost (seconds) of a serializing lax.scan with
+    a trivial body, measured exactly like the model-timing scans (jit,
+    warm run, then one timed dispatch fetching a scalar).
+
+    On this platform host-side timing of a scan is an UPPER BOUND that
+    includes ~1.3-1.45 ms/iteration of scan/dispatch machinery
+    (docs/PERFORMANCE.md); subtract this floor — measured at the SAME
+    iteration count — to estimate true model latency. Shared by bench.py
+    --latency and scripts/bottleneck_variant_bench.py so both report on
+    one baseline."""
+    import jax.numpy as jnp
+    x0 = jnp.zeros((8, 128), jnp.float32)
+
+    def run_n(x):
+        def body(carry, _):
+            return carry * 1.0000001 + 1e-9, ()
+        x, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(x)
+
+    g = jax.jit(run_n)
+    float(g(x0))                       # compile + warm
+    t0 = time.perf_counter()
+    float(g(x0))
+    return (time.perf_counter() - t0) / iters
+
+
 class ThroughputMeter:
     """Rolling samples/sec + step-time statistics."""
 

@@ -35,18 +35,10 @@ def timed(fn, x, iters=30):
 
 
 def floor(iters=30):
-    x0 = jnp.zeros((8, 128), jnp.float32)
-
-    def run(x):
-        def body(c, _):
-            return c * 1.0000001 + 1e-9, ()
-        c, _ = jax.lax.scan(body, x, None, length=iters)
-        return jnp.sum(c)
-    g = jax.jit(run)
-    float(g(x0))
-    t0 = time.perf_counter()
-    float(g(x0))
-    return (time.perf_counter() - t0) / iters
+    """Shared methodology: utils.profiling.measure_scan_floor (one
+    baseline for bench.py --latency and this script)."""
+    from fast3dhpe_tpu.utils.profiling import measure_scan_floor
+    return measure_scan_floor(iters=iters)
 
 
 def main():

@@ -184,6 +184,45 @@ class TestCachedStreamEval:
         np.testing.assert_allclose(e2_cached, e2_plain, rtol=1e-5)
         np.testing.assert_allclose(e3_cached, e3_plain, rtol=1e-5)
 
+    def test_eval_scan_one_compile_across_movement_lengths(self, tmp_path):
+        """`--movement all` evaluates movements of DIFFERENT lengths;
+        the whole-movement eval scan must reuse ONE compiled graph: the
+        stacked metadata is bucketed to a multiple of 8 batches and the
+        frame cache to a multiple of 64 rows, so the (S, N) shapes match
+        (each distinct shape would be a full remote recompile — minutes
+        on a relay link)."""
+        import os
+        import jax.numpy as jnp
+        from fast3dhpe_tpu.apps.inference import CDRNetInferencer
+        from fast3dhpe_tpu.data.stream import LoadMADSData
+        from fast3dhpe_tpu.data.synthetic import make_synthetic_mads
+        from fast3dhpe_tpu.models import CDRNet
+
+        root = str(tmp_path / "tree")
+        make_synthetic_mads(root, n_frames=6, img_w=128, img_h=96,
+                            movements=("HipHop",), splits=("valid",))
+        make_synthetic_mads(root, n_frames=10, img_w=128, img_h=96,
+                            movements=("Jazz",), splits=("valid",))
+        cfg = make_cfg(root)
+        model = CDRNet.from_config(cfg)
+        imgs = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+        proj = jnp.broadcast_to(
+            jnp.asarray([[600.0, 0, 32, 0], [0, 600.0, 32, 0],
+                         [0, 0, 1, 3000.0]], jnp.float32), (1, 2, 3, 4))
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), imgs, proj, train=False)
+        inf = CDRNetInferencer(cfg, variables=variables)
+
+        for mv in ("HipHop", "Jazz"):           # 6 vs 10 frames
+            stream = LoadMADSData(os.path.join(root, "valid"),
+                                  cfg.MODEL.IMAGE_SIZE, mv)
+            e2, e3 = inf.evaluate_movement(stream, batch_size=4,
+                                           device_cache_bytes=1 << 30)
+            assert stream._device_cache is not None
+            assert not stream._device_cache.partial
+            assert np.isfinite(e2) and np.isfinite(e3)
+        assert inf._eval_movement_scan._cache_size() == 1
+
     def test_cache_fallback_over_budget(self, mads_root):
         import os
         from fast3dhpe_tpu.data.stream import LoadMADSData
@@ -620,3 +659,21 @@ class TestDeviceFrameCacheUnit:
 
         assert DeviceFrameCache.build(
             [r["image_left"] for r in recs], decode, 100) is None
+
+    def test_none_on_mixed_frame_sizes(self):
+        """Variable-size sources (MPII) must hit the documented None
+        fallback, not a np.stack ValueError — both when the odd frame
+        lands in the first chunk and in a later one."""
+        frames = {f"f{i}": np.zeros((8, 8, 3), np.uint8) for i in range(6)}
+
+        def decode(ps):
+            return [frames[p] for p in ps]
+
+        for odd in ("f1", "f4"):                 # chunk 0 and chunk 1
+            frames[odd] = np.zeros((10, 8, 3), np.uint8)
+            assert DeviceFrameCache.build(
+                list(frames), decode, 1 << 20, chunk_frames=3) is None
+            frames[odd] = np.zeros((8, 8, 3), np.uint8)
+        # sanity: uniform sizes still build
+        assert DeviceFrameCache.build(
+            list(frames), decode, 1 << 20, chunk_frames=3) is not None
