@@ -26,7 +26,7 @@ from flax import linen as nn
 
 from .resnet import ResNetEncoder
 from .decoder import PoseDecoder
-from .layers import conv2d, batch_norm
+from .layers import conv2d, batch_norm, bn_row_mask
 from ..geometry.triangulation import dlt_triangulate, pinv_projection
 from ..ops.heatmap import soft_argmax
 
@@ -69,12 +69,16 @@ class CanonicalFusion(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, zs, proj, proj_inv, train: bool = False):
+    def __call__(self, zs, proj, proj_inv, train: bool = False,
+                 bn_mask=None):
         """
         Args:
           zs: (B, V, H, W, in_dim) per-view encoder features.
           proj: (B, V, 3, 4) projection matrices.
           proj_inv: (B, V, 4, 3) their right pseudo-inverses.
+          bn_mask: optional (B, 1, 1, 1) bool (layers.bn_row_mask) —
+            restricts train-mode BN batch statistics to valid rows; the
+            view-stacked (B*V) BN sites repeat it per view.
         Returns:
           (B, V, H, W, in_dim) fused per-view features.
         """
@@ -82,12 +86,15 @@ class CanonicalFusion(nn.Module):
         assert V == self.n_views
         g1 = self.hid_ch1 // 3          # groups for FTL with P^-1 (N=3)
         g2 = self.hid_ch2 // 4          # groups for FTL with P (N=4)
+        bn_mask_bv = (None if bn_mask is None
+                      else jnp.repeat(bn_mask, V, axis=0))
 
         # conv_layer1 (shared across views): 1x1 conv + BN + ReLU
         x = zs.reshape(B * V, H, W, C)
         x = conv2d(self.hid_ch1, 1, 1, 0, "conv_layer1", self.dtype,
                    use_bias=True)(x)
-        x = batch_norm(train, "conv_layer1_bn", self.dtype)(x)
+        x = batch_norm(train, "conv_layer1_bn", self.dtype)(
+            x, mask=bn_mask_bv)
         x = nn.relu(x)
 
         # FTL into the canonical frame, all views in one einsum
@@ -101,11 +108,13 @@ class CanonicalFusion(nn.Module):
         # conv_layer2: two 1x1 conv + BN + ReLU blocks
         f = conv2d(self.hid_ch2, 1, 1, 0, "conv_layer2_0", self.dtype,
                    use_bias=True)(z)
-        f = batch_norm(train, "conv_layer2_0_bn", self.dtype)(f)
+        f = batch_norm(train, "conv_layer2_0_bn", self.dtype)(
+            f, mask=bn_mask)
         f = nn.relu(f)
         f = conv2d(self.hid_ch2, 1, 1, 0, "conv_layer2_1", self.dtype,
                    use_bias=True)(f)
-        f = batch_norm(train, "conv_layer2_1_bn", self.dtype)(f)
+        f = batch_norm(train, "conv_layer2_1_bn", self.dtype)(
+            f, mask=bn_mask)
         f = nn.relu(f)                                  # (B, H, W, hid_ch2)
 
         # FTL back to each view, then per-view (unshared) output projection
@@ -119,7 +128,8 @@ class CanonicalFusion(nn.Module):
         for i in range(V):
             o = conv2d(self.in_dim, 1, 1, 0, f"out_layer{i}", self.dtype,
                        use_bias=True)(back[:, i])
-            o = batch_norm(train, f"out_layer{i}_bn", self.dtype)(o)
+            o = batch_norm(train, f"out_layer{i}_bn", self.dtype)(
+                o, mask=bn_mask)
             outs.append(nn.relu(o))
         return jnp.stack(outs, axis=1)                  # (B, V, H, W, in_dim)
 
@@ -149,12 +159,14 @@ class CDRNet(nn.Module):
 
     @nn.compact
     def __call__(self, imgs, projs, train: bool = False,
-                 return_heatmaps: bool = False):
+                 return_heatmaps: bool = False, row_valid=None):
         """
         Args:
           imgs: (B, V, H, W, 3) normalized stereo images.
           projs: (B, V, 3, 4) projection matrices (image-space composed).
           return_heatmaps: also return the raw (B, V, h, w, J) heatmaps.
+          row_valid: optional (B,) 0/1 — train-mode BN batch statistics
+            are restricted to valid rows (padded loader rows excluded).
         Returns:
           pred_2d: (B, V, J, 2) keypoints in image pixels.
           pred_3d: (B, J, 3) triangulated world keypoints.
@@ -162,12 +174,15 @@ class CDRNet(nn.Module):
         B, V, H, W, _ = imgs.shape
         assert V == self.n_views
         img_size = H
+        mask_b = bn_row_mask(row_valid, ndim=4)         # (B, 1, 1, 1)
+        mask_bv = (None if mask_b is None
+                   else jnp.repeat(mask_b, V, axis=0))  # view-stacked
 
         x = imgs.reshape(B * V, H, W, 3)
         z = ResNetEncoder(num_layers=self.num_layers, dtype=self.dtype,
                           fused_inference=self.fused_inference,
                           remat=self.remat,
-                          name="encoder")(x, train)     # (B*V, h, w, C)
+                          name="encoder")(x, train, mask_bv)  # (B*V,h,w,C)
         fh, fw, in_dim = z.shape[1], z.shape[2], z.shape[3]
         zs = z.reshape(B, V, fh, fw, in_dim)
 
@@ -175,11 +190,12 @@ class CDRNet(nn.Module):
         fused = CanonicalFusion(
             in_dim=in_dim, hid_ch1=self.fusion_hid_ch1,
             hid_ch2=self.fusion_hid_ch2, n_views=self.n_views,
-            dtype=self.dtype, name="CF")(zs, projs, proj_inv, train)
+            dtype=self.dtype, name="CF")(zs, projs, proj_inv, train,
+                                         mask_b)
 
         h = PoseDecoder(num_joints=self.num_joints, dtype=self.dtype,
                         name="decoder")(
-            fused.reshape(B * V, fh, fw, in_dim), train)
+            fused.reshape(B * V, fh, fw, in_dim), train, mask_bv)
         heatmap_size = h.shape[1]
 
         # soft-argmax decode in fp32, scaled back to image coords

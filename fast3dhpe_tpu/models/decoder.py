@@ -23,13 +23,14 @@ class PoseDecoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_mask=None):
         x = x.astype(self.dtype)
         for i in (1, 2, 3):
             x = ConvTranspose2dTorch(
                 features=self.num_deconv_filters,
                 dtype=self.dtype, name=f"deconv{i}")(x)
-            x = batch_norm(train, f"deconv{i}_bn", self.dtype)(x)
+            x = batch_norm(train, f"deconv{i}_bn", self.dtype)(
+                x, mask=bn_mask)
             x = nn.relu(x)
         x = conv2d(self.num_joints, 1, 1, 0, "final_layer", self.dtype,
                    use_bias=True,

@@ -44,6 +44,26 @@ def conv2d(features, kernel_size, strides=1, padding=0, name=None,
     )
 
 
+def bn_row_mask(row_valid, ndim: int = 4):
+    """(B,) 0/1 row-validity -> a BN `mask` broadcastable to an NHWC batch.
+
+    Padded loader rows (batch["row_valid"] == 0, see train/steps.py) must
+    not enter BatchNorm batch statistics: the loss and metrics already
+    exclude them, and flax's BatchNorm accepts a `mask` that restricts the
+    mean/var reductions the same way — matching the reference, whose torch
+    DataLoader simply yields a smaller final batch. A degenerate all-invalid
+    mask (possible only as a zero-record multi-host shard's LOCAL view; the
+    global batch always has a valid row, and under pjit the BN reduction is
+    global) falls back to the full batch instead of producing empty-set NaN
+    statistics.
+    """
+    if row_valid is None:
+        return None
+    m = jnp.asarray(row_valid) > 0
+    m = m | ~jnp.any(m)
+    return m.reshape(m.shape + (1,) * (ndim - 1))
+
+
 def batch_norm(train: bool, name=None, dtype=jnp.float32):
     """BatchNorm2d(momentum=0.1, eps=1e-5) over NHWC.
 

@@ -15,6 +15,7 @@ from flax import linen as nn
 
 from .resnet import ResNetEncoder
 from .decoder import PoseDecoder
+from .layers import bn_row_mask
 
 
 class PoseResNet(nn.Module):
@@ -28,14 +29,18 @@ class PoseResNet(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, row_valid=None):
+        """row_valid: optional (B,) 0/1 — train-mode BN batch statistics
+        are restricted to valid rows (padded loader rows excluded)."""
+        mask = bn_row_mask(row_valid)
         features = ResNetEncoder(num_layers=self.num_layers,
                                  dtype=self.dtype,
                                  fused_inference=self.fused_inference,
                                  remat=self.remat,
-                                 name="encoder")(x, train)
+                                 name="encoder")(x, train, mask)
         heatmaps = PoseDecoder(num_joints=self.num_joints,
-                               dtype=self.dtype, name="decoder")(features, train)
+                               dtype=self.dtype, name="decoder")(
+            features, train, mask)
         return heatmaps
 
     @classmethod

@@ -43,17 +43,18 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_mask=None):
         residual = x
         out = conv2d(self.planes, 3, self.stride, 1, "conv1", self.dtype)(x)
-        out = batch_norm(train, "bn1", self.dtype)(out)
+        out = batch_norm(train, "bn1", self.dtype)(out, mask=bn_mask)
         out = nn.relu(out)
         out = conv2d(self.planes, 3, 1, 1, "conv2", self.dtype)(out)
-        out = batch_norm(train, "bn2", self.dtype)(out)
+        out = batch_norm(train, "bn2", self.dtype)(out, mask=bn_mask)
         if self.downsample:
             residual = conv2d(self.planes * BASIC_EXPANSION, 1, self.stride,
                               0, "downsample_conv", self.dtype)(x)
-            residual = batch_norm(train, "downsample_bn", self.dtype)(residual)
+            residual = batch_norm(train, "downsample_bn",
+                                  self.dtype)(residual, mask=bn_mask)
         return nn.relu(out + residual)
 
 
@@ -134,22 +135,23 @@ class Bottleneck(nn.Module):
             samples_per_cell=1,
             interpret=jax.default_backend() != "tpu")
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_mask=None):
         if self._fusable(x, train):
             return self._fused(x)
         residual = x
         out = self.conv1(x)
-        out = self.bn1(out, use_running_average=not train)
+        out = self.bn1(out, use_running_average=not train, mask=bn_mask)
         out = nn.relu(out)
         out = self.conv2(out)
-        out = self.bn2(out, use_running_average=not train)
+        out = self.bn2(out, use_running_average=not train, mask=bn_mask)
         out = nn.relu(out)
         out = self.conv3(out)
-        out = self.bn3(out, use_running_average=not train)
+        out = self.bn3(out, use_running_average=not train, mask=bn_mask)
         if self.downsample:
             residual = self.downsample_conv(x)
             residual = self.downsample_bn(residual,
-                                          use_running_average=not train)
+                                          use_running_average=not train,
+                                          mask=bn_mask)
         return nn.relu(out + residual)
 
 
@@ -169,7 +171,9 @@ class ResNetEncoder(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_mask=None):
+        """bn_mask: optional (B, 1, 1, 1) bool — restricts train-mode BN
+        batch statistics to valid rows (layers.bn_row_mask)."""
         block_name, stage_sizes = RESNET_SPEC[self.num_layers]
         is_bottleneck = block_name == "bottleneck"
         block_cls = Bottleneck if is_bottleneck else BasicBlock
@@ -181,7 +185,7 @@ class ResNetEncoder(nn.Module):
 
         x = x.astype(self.dtype)
         x = conv2d(64, 7, 2, 3, "conv1", self.dtype)(x)
-        x = batch_norm(train, "bn1", self.dtype)(x)
+        x = batch_norm(train, "bn1", self.dtype)(x, mask=bn_mask)
         x = nn.relu(x)
         x = max_pool_torch(x, 3, 2, 1)
 
@@ -199,6 +203,7 @@ class ResNetEncoder(nn.Module):
                     kwargs["fused_inference"] = self.fused_inference
                 x = block_cls(planes=planes, stride=s, downsample=downsample,
                               dtype=self.dtype,
-                              name=f"layer{stage}_{i}", **kwargs)(x, train)
+                              name=f"layer{stage}_{i}", **kwargs)(
+                    x, train, bn_mask)
                 inplanes = planes * expansion
         return x

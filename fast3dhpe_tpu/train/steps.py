@@ -13,13 +13,13 @@ trees on device and fetch once per epoch / per --log_every window).
 
 Padded final batches: the loaders emit `batch["row_valid"]` — a (B,) 0/1
 mask, batch-sharded like the data. Steps mask padded rows out of the loss
-(gradients never see duplicated samples) and out of every metric, and the
-loss mean is renormalized to valid rows, matching the reference's smaller
-final torch batch. Because the mask is sharded, sum(mask) is the GLOBAL
-valid count under a mesh — correct on multi-host too. BN batch stats are
-the one place padding still leaks in (masked BN would need a custom
-normalizer); padded rows duplicate the last REAL sample, so the stats see
-valid data, merely slightly re-weighted on one batch per epoch.
+(gradients never see duplicated samples) and out of every metric, the
+loss mean is renormalized to valid rows, and train-mode BatchNorm batch
+statistics are restricted to valid rows (the mask threads into every BN
+via `row_valid=` on the model call; models.layers.bn_row_mask) — fully
+matching the reference's smaller final torch batch. Because the mask is
+sharded, sum(mask) is the GLOBAL valid count under a mesh — correct on
+multi-host too, and under pjit the masked BN reduction is global.
 """
 
 from __future__ import annotations
@@ -59,7 +59,8 @@ def make_train_step_2d(model, loss_fn) -> Callable:
         def loss_of(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"], train=True, mutable=["batch_stats"])
+                batch["image"], train=True, row_valid=mask,
+                mutable=["batch_stats"])
             loss = loss_fn(out, batch["target"], batch["target_weight"],
                            sample_mask=mask)
             return loss, (out, mutated["batch_stats"])
@@ -173,10 +174,11 @@ def _cdr_loss(model, loss_fn, params, batch_stats, batch, use_3d,
     recompile.
     """
     variables = {"params": params, "batch_stats": batch_stats}
+    mask = _row_mask(batch)
     if train:
         (pred_2d, pred_3d), mutated = model.apply(
             variables, batch["image"], batch["proj"], train=True,
-            mutable=["batch_stats"])
+            row_valid=mask, mutable=["batch_stats"])
         new_stats = mutated["batch_stats"]
     else:
         pred_2d, pred_3d = model.apply(
@@ -185,7 +187,6 @@ def _cdr_loss(model, loss_fn, params, batch_stats, batch, use_3d,
 
     target_3d = batch["target_3d"]
     w = batch["target_weight"]
-    mask = _row_mask(batch)
 
     if train:
         not_base = (jnp.arange(num_joints) != base_joint)[None, :, None]
