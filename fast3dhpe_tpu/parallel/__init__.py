@@ -12,6 +12,8 @@ from .mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    shard_batch_spatial,
+    spatial_sharding,
     shard_stacked,
     replicate,
     local_mesh_devices,

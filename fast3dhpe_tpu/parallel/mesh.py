@@ -78,6 +78,53 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+def spatial_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for an image batch with HEIGHT split over the model axis.
+
+    (B, V, H, W, 3) stereo -> P("data", None, "model"); (B, H, W, 3)
+    mono -> P("data", "model"). Trailing dims replicated.
+    """
+    if ndim == 5:
+        spec = P(DATA_AXIS, None, MODEL_AXIS)
+    elif ndim == 4:
+        spec = P(DATA_AXIS, MODEL_AXIS)
+    else:
+        raise ValueError(f"expected a 4-D/5-D image batch, got ndim={ndim}")
+    return NamedSharding(mesh, spec)
+
+
+def shard_batch_spatial(mesh: Mesh, batch):
+    """Like shard_batch, but ALSO splits the image height over "model".
+
+    Spatial partitioning for latency-bound small-batch serving: with
+    batch 1 on an N-chip slice, pure data parallelism leaves N-1 chips
+    idle. Annotating the conv stack's H axis onto the model axis makes
+    XLA partition every conv spatially and insert the halo exchanges
+    (collective-permutes of the 3x3/7x7 borders) over ICI — no model
+    code changes, per the standard GSPMD recipe. The reference has no
+    analogue (single device [ref: train.py:43]); this is the TPU-native
+    answer to its frame-at-a-time streaming inference
+    [ref: tools/load.py:30-72].
+
+    `batch` is a dict; leaves named "image" shard (B, V, H, W, 3) as
+    P("data", None, "model") (mono (B, H, W, 3) as P("data", "model"));
+    all other leaves shard P("data"). H should be divisible by the
+    model-axis size (256 / {2,4,8} is). Numerics match the unsharded
+    forward up to float reassociation — soft-argmax reductions and BN
+    (eval mode) are global under jit. Guarded by
+    tests/test_train_steps.py::TestSpatialSharding.
+    """
+    data_sh = batch_sharding(mesh)
+
+    def put(key, x):
+        if key == "image":
+            return jax.device_put(x, spatial_sharding(mesh, np.ndim(x)))
+        return jax.device_put(x, data_sh)
+
+    return {k: jax.tree_util.tree_map(lambda x, k=k: put(k, x), v)
+            for k, v in batch.items()}
+
+
 def shard_stacked(mesh: Mesh, tree, lead: int = 1):
     """Place stacked-epoch arrays on the mesh with the BATCH axis sharded
     over "data". `lead` = number of leading scan axes before the batch

@@ -46,6 +46,10 @@ def main():
                     help="reuse a fixed dir (resume-friendly across runs)")
     ap.add_argument("--skip2d", action="store_true",
                     help="reuse an existing stage-1 checkpoint in workdir")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume both stages from their rolling "
+                         "checkpoints in workdir (for restarting after a "
+                         "relay/worker crash that outlived --retries)")
     args = ap.parse_args()
 
     from fast3dhpe_tpu.config import config_from_dict
@@ -95,7 +99,8 @@ def main():
         # the relay's TPU worker can die mid-run (observed); resume from
         # the rolling checkpoint instead of losing the stage
         hist2d = run_with_retries(
-            loop2d.run, cfg2d, retries=3, overwrite=True,
+            loop2d.run, cfg2d, retries=3,
+            overwrite=not args.resume, resume=args.resume,
             weights_root=weights, compute_dtype="bfloat16",
             checkpoint_every=args.checkpoint_every)
         print(f"stage1 (2D, {args.epochs2d} ep, {time.time()-t0:.0f}s): "
@@ -121,8 +126,11 @@ def main():
         "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSESmooth"},
     })
     t0 = time.time()
+    resume3d = args.resume and os.path.isdir(
+        os.path.join(weights, f"staged3d_{args.layers}", "latest"))
     hist = run_with_retries(
-        loop_cdr.run, cfg3d, retries=3, overwrite=True,
+        loop_cdr.run, cfg3d, retries=3,
+        overwrite=not resume3d, resume=resume3d,
         weights_root=weights, compute_dtype="bfloat16",
         checkpoint_every=args.checkpoint_every)
     post = hist["val_mpjpe_3d"][args.warmup + 1:] or hist["val_mpjpe_3d"]

@@ -13,7 +13,8 @@ from fast3dhpe_tpu.train.state import TrainState, make_optimizer, multistep_lr
 from fast3dhpe_tpu.train.steps import (
     make_train_step_2d, make_eval_step_2d,
     make_train_step_cdr, make_eval_step_cdr)
-from fast3dhpe_tpu.parallel import make_mesh, shard_batch, replicate
+from fast3dhpe_tpu.parallel import (make_mesh, shard_batch,
+                                    shard_batch_spatial, replicate)
 from fast3dhpe_tpu.ops import render_gaussian_heatmaps
 
 rng = np.random.RandomState(0)
@@ -275,3 +276,53 @@ class TestShardedCDR:
         p1 = np.asarray(s1.params["decoder"]["final_layer"]["kernel"])
         p2 = np.asarray(s2.params["decoder"]["final_layer"]["kernel"])
         np.testing.assert_allclose(p1, p2, rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.slow
+class TestSpatialSharding:
+    """Spatial partitioning for latency-bound serving: image HEIGHT split
+    over the "model" mesh axis (parallel.shard_batch_spatial). XLA
+    partitions every conv spatially and inserts the halo exchanges; the
+    forward must match the unsharded one up to float reassociation. The
+    reference has no analogue (single device [ref: train.py:43])."""
+
+    def test_poseresnet_spatial_matches_unsharded(self):
+        assert len(jax.devices()) >= 8
+        model = PoseResNet(num_joints=4, num_layers=18)
+        img = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), img, train=False)
+
+        @jax.jit
+        def fwd(v, x):
+            return model.apply(v, x, train=False)
+
+        hm1 = fwd(variables, img)
+        mesh = make_mesh(8, model_parallel=4)       # data=2 x model=4
+        b = shard_batch_spatial(mesh, {"image": img})
+        hm2 = fwd(replicate(mesh, variables), b["image"])
+        np.testing.assert_allclose(np.asarray(hm1), np.asarray(hm2),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_cdrnet_spatial_keypoints_match(self):
+        """Keypoints are the well-conditioned output; the 3D triangulation
+        of an UNTRAINED net amplifies float noise unboundedly (points at
+        near-infinity), so pred_3d is only sanity-checked relatively."""
+        assert len(jax.devices()) >= 8
+        model = CDRNet(num_joints=19, num_layers=18)
+        batch = make_cdr_batch(B=2)
+        variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                               batch["proj"], train=False)
+
+        @jax.jit
+        def fwd(v, imgs, projs):
+            return model.apply(v, imgs, projs, train=False)
+
+        kp1, p31 = fwd(variables, batch["image"], batch["proj"])
+        mesh = make_mesh(8, model_parallel=4)
+        b = shard_batch_spatial(mesh, batch)
+        kp2, p32 = fwd(replicate(mesh, variables), b["image"], b["proj"])
+        np.testing.assert_allclose(np.asarray(kp1), np.asarray(kp2),
+                                   rtol=1e-4, atol=1e-3)
+        rel = np.abs(np.asarray(p31) - np.asarray(p32)) / (
+            1 + np.abs(np.asarray(p31)))
+        assert rel.max() < 0.05
