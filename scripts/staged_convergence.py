@@ -103,8 +103,12 @@ def main():
             overwrite=not args.resume, resume=args.resume,
             weights_root=weights, compute_dtype="bfloat16",
             checkpoint_every=args.checkpoint_every)
-        print(f"stage1 (2D, {args.epochs2d} ep, {time.time()-t0:.0f}s): "
-              f"best val acc {max(hist2d['val_acc']):.3f}")
+        if hist2d["val_acc"]:
+            print(f"stage1 (2D, {args.epochs2d} ep, "
+                  f"{time.time()-t0:.0f}s): "
+                  f"best val acc {max(hist2d['val_acc']):.3f}")
+        else:   # --resume of an already-complete stage returns instantly
+            print("stage1 already complete (resumed past final epoch)")
     if not os.path.isdir(stage1_ckpt):
         stage1_ckpt = os.path.join(weights, stage1_name, "latest")
 
@@ -134,6 +138,10 @@ def main():
         weights_root=weights, compute_dtype="bfloat16",
         checkpoint_every=args.checkpoint_every)
     post = hist["val_mpjpe_3d"][args.warmup + 1:] or hist["val_mpjpe_3d"]
+    if not post:
+        print("stage2 already complete (resumed past final epoch); "
+              "re-run without --resume to retrain")
+        return
     best = min(post)
     print(f"stage2 (CDR-{args.layers}, {args.epochs3d} ep, "
           f"{time.time()-t0:.0f}s): best val 3D MPJPE {best:.1f} mm "
