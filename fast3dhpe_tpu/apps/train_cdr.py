@@ -30,6 +30,15 @@ def main():
                         help="auto-resume from the last checkpoint after "
                              "retryable backend crashes (preemptible / "
                              "flaky TPU stacks), up to N times")
+    parser.add_argument("--checkpoint_every", type=int, default=1,
+                        help="save the rolling latest checkpoint every N "
+                             "epochs (N>1 also enables one-dispatch "
+                             "segment execution when the device frame "
+                             "cache holds the dataset)")
+    parser.add_argument("--async_checkpoint", action="store_true",
+                        help="fetch+write checkpoints on a background "
+                             "thread so the ~540 MB state transfer "
+                             "overlaps training")
     args = parser.parse_args()
 
     from ..parallel.distributed import init_distributed
@@ -45,7 +54,9 @@ def main():
                      compute_dtype="bfloat16" if args.bf16 else "float32",
                      plot_dir=args.plot_dir, resume=args.resume,
                      log_every=args.log_every,
-                     trace_dir=args.trace_dir)
+                     trace_dir=args.trace_dir,
+                     checkpoint_every=args.checkpoint_every,
+                     async_checkpoint=args.async_checkpoint)
 
 
 if __name__ == "__main__":

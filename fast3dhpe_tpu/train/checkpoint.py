@@ -295,6 +295,120 @@ def save_checkpoint(path: str, tree) -> None:
         ckptr.save(path, tree, force=True)
 
 
+class AsyncCheckpointWriter:
+    """Checkpoint saves off the training critical path.
+
+    orbax's own AsyncCheckpointer performs the device->host copy
+    synchronously before returning control; on a slow host<->device link
+    that copy IS the cost (CDR-101 params+Adam state is ~540 MB, ~30 s
+    through this relay — docs/PERFORMANCE.md), so an orbax-async save
+    would still stall the loop for the whole transfer. This writer moves
+    the FETCH itself off the critical path: save() enqueues only device
+    references — XLA buffers are immutable, so the snapshot is consistent
+    by construction and costs nothing — and one worker thread performs
+    ``jax.device_get`` + the orbax write while the loop keeps dispatching.
+    (The reference blocks on torch.save every epoch
+    [ref: train.py:150-159, train_cdr.py:222-232].)
+
+    Per-path coalescing: a save() for a path that already has a QUEUED
+    (not yet started) entry replaces that entry, so a link slower than
+    the checkpoint cadence degrades to saving less often — never to an
+    unbounded queue of dead state trees pinned in HBM. At most one
+    in-flight + one queued tree per path are ever live.
+
+    wait() drains the queue and re-raises the first worker error; the
+    training loops call it at normal completion AND in their interrupt
+    handlers so the process never exits with a checkpoint half-written.
+    The worker thread is a daemon: an unhandled crash elsewhere cannot
+    hang interpreter shutdown on a stuck link.
+    """
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._queue: Dict[str, Any] = {}     # path -> tree (insertion-ordered)
+        self._busy = 0                       # entries dequeued, not yet done
+        self._error: Optional[BaseException] = None
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._work, name="ckpt-writer", daemon=True)
+        self._thread.start()
+
+    def save(self, path: str, tree) -> None:
+        """Queue `tree` for a background save to `path` (coalescing any
+        queued-but-unstarted save to the same path)."""
+        with self._cv:
+            if self._error is not None:
+                err, self._error = self._error, None
+                raise err
+            if self._closed:
+                raise RuntimeError("writer already closed")
+            self._queue.pop(path, None)
+            self._queue[path] = tree
+            self._cv.notify()
+
+    def _work(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if not self._queue and self._closed:
+                    return
+                path = next(iter(self._queue))
+                tree = self._queue.pop(path)
+                self._busy += 1
+            try:
+                # the expensive leg: device->host through the link
+                host_tree = jax.device_get(tree)
+                save_checkpoint(path, host_tree)
+            except BaseException as e:   # surfaced by the next save()/wait()
+                with self._cv:
+                    self._error = self._error or e
+            finally:
+                with self._cv:
+                    self._busy -= 1
+                    self._cv.notify_all()
+
+    def wait(self) -> None:
+        """Block until every queued save has been written; re-raise the
+        first worker error, if any."""
+        with self._cv:
+            while self._queue or self._busy:
+                self._cv.wait()
+            if self._error is not None:
+                err, self._error = self._error, None
+                raise err
+
+    def close(self) -> None:
+        """Drain and stop the worker (the writer is single-use)."""
+        self.wait()
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout=60)
+
+
+class SyncCheckpointWriter:
+    """Same surface as AsyncCheckpointWriter, saving inline (the
+    reference-equivalent blocking behavior; also the multi-host-safe
+    choice until saves are process-0-gated)."""
+
+    def save(self, path: str, tree) -> None:
+        save_checkpoint(path, tree)
+
+    def wait(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def make_checkpoint_writer(async_: bool):
+    """Checkpoint writer factory for the training loops."""
+    return AsyncCheckpointWriter() if async_ else SyncCheckpointWriter()
+
+
 def restore_checkpoint(path: str, template):
     """Restore a pytree saved by save_checkpoint; `template` supplies the
     structure/shapes (an abstract or concrete tree). Returns None if the

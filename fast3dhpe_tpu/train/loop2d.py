@@ -35,7 +35,7 @@ from .state import TrainState, make_optimizer, multistep_lr
 from .steps import (make_train_step_2d, make_eval_step_2d,
                     make_train_epoch_2d, make_eval_epoch_2d,
                     make_segment_2d)
-from .checkpoint import (save_checkpoint, load_variables,
+from .checkpoint import (load_variables, make_checkpoint_writer,
                          merge_encoder_only, restore_checkpoint_compat)
 from ..utils.logging import setup_logger
 from ..utils.profiling import StepTracer, ThroughputMeter
@@ -116,8 +116,15 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         resume: bool = False, log_every: Optional[int] = None,
         trace_dir: Optional[str] = None,
         scan_epochs: Optional[bool] = None,
-        checkpoint_every: int = 1) -> Dict:
+        checkpoint_every: int = 1,
+        async_checkpoint: bool = False) -> Dict:
     """Train PoseResNet; returns a history dict (losses/accs per epoch).
+
+    async_checkpoint: fetch+write checkpoints on a background thread so
+    the ~540 MB device->host state transfer overlaps training instead of
+    stalling it (checkpoint.AsyncCheckpointWriter; saves are drained at
+    completion and on interrupt). Off by default: multi-host runs and
+    test determinism want the inline path.
 
     scan_epochs: run each epoch as one lax.scan dispatch when the device
     frame cache holds the dataset (see loop_cdr.run).
@@ -224,6 +231,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
 
     n_epochs = max_epochs if max_epochs is not None else config.TRAIN.EPOCH
     best_state, best_dirty = state, False
+    ckpt = make_checkpoint_writer(async_checkpoint)
     ev_stacked_saved = None
     history = {"train_loss": [], "val_loss": [], "train_acc": [],
                "val_acc": [], "train_imgs_per_sec": []}
@@ -299,12 +307,12 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                 best_dirty = True
             epoch = boundary        # == a checkpoint boundary or the end
             if best_dirty:
-                save_checkpoint(os.path.join(model_path, "best"),
-                                _state_tree(best_state, best_acc))
+                ckpt.save(os.path.join(model_path, "best"),
+                          _state_tree(best_state, best_acc))
                 best_dirty = False
                 logger.info("Saved best (val acc %.4f)", best_acc)
-            save_checkpoint(os.path.join(model_path, "latest"),
-                            _state_tree(state, best_acc))
+            ckpt.save(os.path.join(model_path, "latest"),
+                      _state_tree(state, best_acc))
 
     try:
         with interruptible():   # SIGTERM -> KeyboardInterrupt
@@ -411,11 +419,11 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                 if (epoch + 1) % checkpoint_every == 0 or \
                         epoch + 1 == n_epochs:
                     if best_dirty:
-                        save_checkpoint(os.path.join(model_path, "best"),
-                                        _state_tree(best_state, best_acc))
+                        ckpt.save(os.path.join(model_path, "best"),
+                                  _state_tree(best_state, best_acc))
                         best_dirty = False
                         logger.info("Saved best (val acc %.4f)", best_acc)
-                    save_checkpoint(
+                    ckpt.save(
                         os.path.join(model_path, "latest"),
                         _state_tree(state, best_acc))
 
@@ -423,11 +431,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         logger.warning("Interrupted — saving latest checkpoint "
                        "before exit (resume with --resume)")
         if best_dirty:
-            save_checkpoint(os.path.join(model_path, "best"),
-                            _state_tree(best_state, best_acc))
-        save_checkpoint(os.path.join(model_path, "latest"),
-                        _state_tree(state, best_acc))
+            ckpt.save(os.path.join(model_path, "best"),
+                      _state_tree(best_state, best_acc))
+        ckpt.save(os.path.join(model_path, "latest"),
+                  _state_tree(state, best_acc))
+        ckpt.wait()     # the process is about to exit — flush
         raise
+    ckpt.wait()         # drain background saves; re-raise worker errors
 
     if plot_dir:
         from ..utils import plot_loss

@@ -32,7 +32,7 @@ from .state import TrainState, make_optimizer, multistep_lr
 from .steps import (make_train_step_cdr, make_eval_step_cdr,
                     make_train_epoch_cdr, make_eval_epoch_cdr,
                     make_segment_cdr)
-from .checkpoint import (save_checkpoint, load_variables,
+from .checkpoint import (load_variables, make_checkpoint_writer,
                          merge_encoder_only)
 from .loop2d import (_prepare_model_dir, _state_tree, _tree_add,
                      _restore_state, _stack_segment)
@@ -51,8 +51,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         resume: bool = False, log_every: Optional[int] = None,
         trace_dir: Optional[str] = None,
         scan_epochs: Optional[bool] = None,
-        checkpoint_every: int = 1) -> Dict:
+        checkpoint_every: int = 1,
+        async_checkpoint: bool = False) -> Dict:
     """Train CDRNet; returns history (losses + val MPJPE per epoch).
+
+    async_checkpoint: fetch+write checkpoints on a background thread
+    (see loop2d.run / checkpoint.AsyncCheckpointWriter) so the ~540 MB
+    CDR-101 state fetch overlaps training instead of stalling it.
 
     compute_dtype: "float32" or "bfloat16" (params/BN stats stay fp32).
     resume: continue from weights/<NAME>/latest (true resume incl.
@@ -189,6 +194,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     n_epochs = max_epochs if max_epochs is not None else config.TRAIN.EPOCH
     warmup = config.TRAIN.WARMUP
     best_state, best_dirty = state, False
+    ckpt = make_checkpoint_writer(async_checkpoint)
     ev_stacked_saved = None
     history = {"train_loss": [], "val_loss": [], "val_mpjpe_3d": [],
                "val_mpjpe_2d": [], "grad_norm": [],
@@ -275,11 +281,11 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                 best_dirty = True
             epoch = boundary        # == a checkpoint boundary or the end
             if best_dirty:
-                save_checkpoint(os.path.join(model_path, "best"),
-                                _state_tree(best_state, best_err))
+                ckpt.save(os.path.join(model_path, "best"),
+                          _state_tree(best_state, best_err))
                 best_dirty = False
                 logger.info("Saved best (val 3D MPJPE %.2fmm)", best_err)
-            save_checkpoint(
+            ckpt.save(
                 os.path.join(model_path, "latest"),
                 _state_tree(state, best_err
                             if best_err != float("inf") else 0.0))
@@ -401,12 +407,12 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                 if (epoch + 1) % checkpoint_every == 0 or \
                         epoch + 1 == n_epochs:
                     if best_dirty:
-                        save_checkpoint(os.path.join(model_path, "best"),
-                                        _state_tree(best_state, best_err))
+                        ckpt.save(os.path.join(model_path, "best"),
+                                  _state_tree(best_state, best_err))
                         best_dirty = False
                         logger.info("Saved best (val 3D MPJPE %.2fmm)",
                                     best_err)
-                    save_checkpoint(
+                    ckpt.save(
                         os.path.join(model_path, "latest"),
                         _state_tree(state, best_err if best_err != float(
                             "inf") else 0.0))
@@ -415,12 +421,14 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         logger.warning("Interrupted — saving latest checkpoint "
                        "before exit (resume with --resume)")
         if best_dirty:
-            save_checkpoint(os.path.join(model_path, "best"),
-                            _state_tree(best_state, best_err))
-        save_checkpoint(os.path.join(model_path, "latest"),
-                        _state_tree(state, best_err if best_err
-                                    != float("inf") else 0.0))
+            ckpt.save(os.path.join(model_path, "best"),
+                      _state_tree(best_state, best_err))
+        ckpt.save(os.path.join(model_path, "latest"),
+                  _state_tree(state, best_err if best_err
+                              != float("inf") else 0.0))
+        ckpt.wait()     # the process is about to exit — flush
         raise
+    ckpt.wait()         # drain background saves; re-raise worker errors
 
     if plot_dir:
         from ..utils import plot_loss
