@@ -149,7 +149,7 @@ class CDRNetInferencer:
             # ride the scan upload) — the per-batch loop below consumes
             # the chained cached+streamed batches instead
             if cache is not None and not cache.partial:
-                batches = list(stream._cached_batches(batch_size, cache))
+                batches = list(stream.cached_batches(batch_size, cache))
                 poses = np.stack([b["pose_3d"] for b in batches])
                 vis = np.logical_and.reduce(
                     ~np.isnan(poses), axis=3).astype(np.float32)

@@ -374,7 +374,7 @@ class Stereo3DLoader:
                 recs.append(recs[-1])
             yield n_valid, recs
 
-    def _ensure_device_cache(self):
+    def ensure_device_cache(self):
         """Build the HBM frame cache once; record failure and fall back.
 
         When the dataset exceeds the budget (real-MADS scale: ~7-16 GB
@@ -440,7 +440,7 @@ class Stereo3DLoader:
         instead of a sequential split chain — a chain would cost one
         relay RPC per step, which is exactly what this path removes).
         """
-        cache = self._ensure_device_cache()
+        cache = self.ensure_device_cache()
         if cache is None:
             raise RuntimeError(
                 "stacked_epoch requires the device frame cache "
@@ -473,7 +473,7 @@ class Stereo3DLoader:
         rng = np.random.RandomState(self.seed + self._epoch)
         key = jax.random.PRNGKey(self.seed * 10007 + self._epoch)
         self._epoch += 1
-        cache = self._ensure_device_cache()
+        cache = self.ensure_device_cache()
         occl = self.occlusion if self.train else None
 
         def gen_partial():
@@ -747,7 +747,7 @@ class Mono2DLoader:
             vis = np.stack([s[3] for s in samples]).astype(np.float32)
             yield n_valid, imgs, trans, joints, vis
 
-    def _ensure_device_cache(self):
+    def ensure_device_cache(self):
         """Build the HBM frame cache once (uniform-size sources only —
         MPII's variable frames make build() return None and the host path
         stays); requires device_preprocess (the warp must run on device
@@ -760,7 +760,7 @@ class Mono2DLoader:
             return None
         from .device_cache import DeviceFrameCache
         # over-budget datasets get a PARTIAL cache (single-device only;
-        # see Stereo3DLoader._ensure_device_cache)
+        # see Stereo3DLoader.ensure_device_cache)
         cache = DeviceFrameCache.build(
             [rec["image"] for rec in self.records], self._decode_paths,
             self._device_cache_budget, mesh=self.mesh,
@@ -787,7 +787,7 @@ class Mono2DLoader:
         flip (S, B) bool, trans (S, B, 2, 3), joints (S, B, J, 2),
         vis (S, B, J), row_valid (S, B). Consumes the same RandomState
         sequence as one __iter__ epoch."""
-        cache = self._ensure_device_cache()
+        cache = self.ensure_device_cache()
         if cache is None:
             raise RuntimeError(
                 "stacked_epoch requires the device frame cache "
@@ -824,7 +824,7 @@ class Mono2DLoader:
     def __iter__(self):
         rng = np.random.RandomState(self.seed + self._epoch)
         self._epoch += 1
-        cache = self._ensure_device_cache()
+        cache = self.ensure_device_cache()
 
         def partial_gen():
             """Partial-cache batches: cached-gather lane + raw-frame

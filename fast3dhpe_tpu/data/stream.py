@@ -172,7 +172,7 @@ class LoadMADSData:
         if device_cache_bytes:
             cache = self.build_device_cache(device_cache_bytes)
             if cache is not None and not cache.partial:
-                return self._cached_batches(batch_size, cache)
+                return self.cached_batches(batch_size, cache)
             if cache is not None and cache.partial:
                 # partial cache: resident frames serve index batches, the
                 # rest stream — eval metrics are order-invariant, and the
@@ -187,7 +187,7 @@ class LoadMADSData:
 
                 def chain():
                     if resident:
-                        for b in self._cached_batches(batch_size, cache,
+                        for b in self.cached_batches(batch_size, cache,
                                                       metas=resident):
                             yield b
                     if misses:
@@ -251,7 +251,7 @@ class LoadMADSData:
 
         return _prefetch(gen())
 
-    def _cached_batches(self, batch_size: int, cache,
+    def cached_batches(self, batch_size: int, cache,
                         metas=None) -> Iterator[Dict]:
         """Index batches over resident frames: per-batch host work is a
         few KB of indices/affines/projections — no image bytes. `metas`

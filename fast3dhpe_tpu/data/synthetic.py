@@ -57,13 +57,14 @@ def _project(pose_3d, cam):
     return uv[:, :2] / uv[:, 2:]
 
 
-def _render_frame(pose_2d, img_w, img_h):
-    """Gray image with bright 5x5 dots at the joint projections."""
+def _render_frame(pose_2d, img_w, img_h, radius: int = 2):
+    """Gray image with bright (2r+1)x(2r+1) dots at the joint projections."""
     img = np.full((img_h, img_w, 3), 60, np.uint8)
+    r = radius
     for x, y in pose_2d:
         xi, yi = int(round(x)), int(round(y))
-        if 2 <= xi < img_w - 2 and 2 <= yi < img_h - 2:
-            img[yi - 2:yi + 3, xi - 2:xi + 3] = (255, 220, 180)
+        if r <= xi < img_w - r and r <= yi < img_h - r:
+            img[yi - r:yi + r + 1, xi - r:xi + r + 1] = (255, 220, 180)
     return img
 
 
@@ -74,6 +75,55 @@ def _write_jpg(path, img):
     except ImportError:
         from PIL import Image
         Image.fromarray(img[:, :, ::-1]).save(path, quality=95)
+
+
+def make_synthetic_mpii(root: str, n_train: int = 24, n_valid: int = 8,
+                        num_joints: int = 16,
+                        base_hw: Tuple[int, int] = (240, 320),
+                        vary: int = 16) -> str:
+    """MPII-format annot tree (images/ + annot/{train,valid}.json) with
+    VARIABLE frame sizes — the layout data/mpii.build_mpii_index parses
+    [ref: dataset/mpii.py:60-96]. Joints are drawn as bright dots so a
+    2D model can actually learn the mapping (training smoke tests), and
+    are stored 1-BASED like real MPII (the index applies the matlab -1
+    shift). Returns root."""
+    os.makedirs(os.path.join(root, "annot"), exist_ok=True)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    rng = np.random.RandomState(7)
+    for split, n in (("train", n_train), ("valid", n_valid)):
+        entries = []
+        for i in range(n):
+            h = base_hw[0] + vary * (i % 5)
+            w = base_hw[1] + (vary // 2) * (i % 7)
+            name = f"{split}_{i:04d}.jpg"
+            t = i * 0.4 + (0.0 if split == "train" else 25.0)
+            # deterministic wobbling joints within the frame interior
+            jr = np.random.RandomState(42)
+            base = np.stack([jr.uniform(0.2, 0.8, num_joints) * w,
+                             jr.uniform(0.2, 0.8, num_joints) * h], axis=1)
+            wob = np.stack([
+                0.08 * w * np.sin(t + np.arange(num_joints)),
+                0.08 * h * np.cos(t * 1.3 + np.arange(num_joints)),
+            ], axis=1)
+            joints = base + wob
+            # fat dots: frames are ~240-340 px but training smokes warp
+            # to 64 px — a 5x5 dot would vanish to a single pixel
+            img = _render_frame(joints, w, h, radius=7)
+            # light per-image texture so it is not a constant background
+            img = img.astype(np.int16) + rng.randint(
+                -10, 10, size=(h, w, 1), dtype=np.int16)
+            _write_jpg(os.path.join(root, "images", name),
+                       np.clip(img, 0, 255).astype(np.uint8))
+            entries.append({
+                "image": name,
+                "center": [w / 2, h / 2],
+                "scale": h / 200.0,
+                "joints": (joints + 1.0).tolist(),   # 1-based like MPII
+                "joints_vis": [1] * num_joints,
+            })
+        with open(os.path.join(root, "annot", f"{split}.json"), "w") as f:
+            json.dump(entries, f)
+    return root
 
 
 def make_synthetic_mads(root: str, n_frames: int = 8,

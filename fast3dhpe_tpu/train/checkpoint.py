@@ -291,6 +291,21 @@ def save_checkpoint(path: str, tree) -> None:
     included so training truly resumes."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
+    if jax.process_count() > 1:
+        # Multi-host: only process 0 reaches this function (writers are
+        # process-0-gated), so restrict orbax's barrier/commit set to
+        # {0} — the default checkpointer would wait on processes that
+        # never enter the save. The tree is ALSO fetched to host numpy
+        # first: serializing global jax.Arrays engages orbax's
+        # cross-process array machinery even under active_processes={0}
+        # (replicated state is fully host-addressable, so the fetch is
+        # local). Validated for real in tests/test_distributed_real.py.
+        mp = ocp.options.MultiprocessingOptions(primary_host=0,
+                                                active_processes={0})
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler(),
+                              multiprocessing_options=mp) as ckptr:
+            ckptr.save(path, jax.device_get(tree), force=True)
+        return
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, tree, force=True)
 
@@ -391,8 +406,7 @@ class AsyncCheckpointWriter:
 
 class SyncCheckpointWriter:
     """Same surface as AsyncCheckpointWriter, saving inline (the
-    reference-equivalent blocking behavior; also the multi-host-safe
-    choice until saves are process-0-gated)."""
+    reference-equivalent blocking behavior)."""
 
     def save(self, path: str, tree) -> None:
         save_checkpoint(path, tree)
@@ -404,8 +418,33 @@ class SyncCheckpointWriter:
         pass
 
 
+class NullCheckpointWriter:
+    """Writer handed to non-zero processes in multi-host runs: process 0
+    owns the checkpoint tree, so saves here are no-ops. Without this
+    gate, N orbax writers would race on the same weights/<NAME>/latest
+    directory and corrupt it. Training state is replicated SPMD, so the
+    tree process 0 writes is identical to what any host would write."""
+
+    def save(self, path: str, tree) -> None:
+        pass
+
+    def wait(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def make_checkpoint_writer(async_: bool):
-    """Checkpoint writer factory for the training loops."""
+    """Checkpoint writer factory for the training loops.
+
+    Process-0-gated: in a multi-process run only process 0 gets a real
+    writer; every other process gets a NullCheckpointWriter. All
+    processes still compute/fetch identical replicated state — only the
+    filesystem write is gated (assumes the usual shared-FS checkpoint
+    dir; per-host disks would need per-host paths instead)."""
+    if jax.process_index() != 0:
+        return NullCheckpointWriter()
     return AsyncCheckpointWriter() if async_ else SyncCheckpointWriter()
 
 

@@ -47,7 +47,13 @@ def _prepare_model_dir(model_path: str, overwrite: bool, logger,
     """check_only=True validates the overwrite flag WITHOUT deleting —
     the loops call that first, defer the destructive rmtree until after
     load_data succeeds, and so never clobber an existing checkpoint over
-    a typo'd dataset path."""
+    a typo'd dataset path.
+
+    Process-0-gated like the checkpoint writers: only process 0 may
+    delete/create the (shared) model dir; other hosts would race the
+    rmtree/makedirs."""
+    if jax.process_index() != 0:
+        return
     if os.path.exists(model_path):
         if not overwrite:
             raise FileExistsError(
@@ -204,8 +210,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
             config.MODEL.EXTRA.HEATMAP_SIZE, config.MODEL.EXTRA.SIGMA)
         # segment path (see loop_cdr.run): the whole inter-checkpoint
         # span as one dispatch when both loaders cache
-        tprobe = train_loader._ensure_device_cache()
-        vprobe = valid_loader._ensure_device_cache()
+        tprobe = train_loader.ensure_device_cache()
+        vprobe = valid_loader.ensure_device_cache()
         if (tprobe is not None and not tprobe.partial
                 and vprobe is not None and not vprobe.partial):
             segment_fn = make_segment_2d(
@@ -216,7 +222,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     def _try_stacked(loader):
         if train_epoch_fn is None:
             return None
-        probe = loader._ensure_device_cache()
+        probe = loader.ensure_device_cache()
         if probe is None or probe.partial:
             return None
         cache, xs, ep_idx = loader.stacked_epoch()

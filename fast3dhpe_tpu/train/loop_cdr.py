@@ -160,8 +160,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         # each, best selected on device) as ONE dispatch — divides the
         # fixed per-epoch relay RPC cost by the segment length
         # (steps.make_segment_cdr). Logs/history appear per segment.
-        tcache_probe = train_loader._ensure_device_cache()
-        vcache_probe = valid_loader._ensure_device_cache()
+        tcache_probe = train_loader.ensure_device_cache()
+        vcache_probe = valid_loader.ensure_device_cache()
         if (tcache_probe is not None and not tcache_probe.partial
                 and vcache_probe is not None
                 and not vcache_probe.partial):
@@ -178,7 +178,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         still exploits a partial cache through its upload lane)."""
         if train_epoch_fn is None:
             return None
-        probe = loader._ensure_device_cache()
+        probe = loader.ensure_device_cache()
         if probe is None or probe.partial:
             return None
         cache, xs, ep_idx = loader.stacked_epoch()

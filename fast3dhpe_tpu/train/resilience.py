@@ -31,7 +31,9 @@ def is_retryable(exc: BaseException) -> bool:
 
 
 def run_with_retries(run_fn: Callable, config, retries: int = 0,
-                     logger: logging.Logger = None, **kwargs):
+                     logger: logging.Logger = None,
+                     retry_backoff_s: float = 45.0, _sleep=None,
+                     **kwargs):
     """Call `run_fn(config, **kwargs)` (loop2d.run / loop_cdr.run),
     retrying with resume=True after retryable backend crashes.
 
@@ -39,12 +41,31 @@ def run_with_retries(run_fn: Callable, config, retries: int = 0,
       run_fn: a training loop entry point accepting (config, **kwargs)
         with `resume` and `overwrite` keyword options.
       retries: max automatic re-entries (0 = plain call).
+      retry_backoff_s: base wait before re-entering, scaled linearly per
+        attempt (45/90/135s...). A crashed TPU worker takes minutes to
+        restart; retrying immediately burns every attempt against the
+        still-restarting backend (observed: 3 retries spent in <10 s,
+        then the run died while the worker came back fine later).
+      _sleep: test seam (defaults to time.sleep).
       kwargs: forwarded to run_fn; `resume`/`overwrite` of the FIRST
         attempt come from here, later attempts force resume=True.
     Returns:
       run_fn's history dict (of the attempt that completed).
     """
     log = logger or logging.getLogger("fast3dhpe")
+    import jax
+    if retries and jax.process_count() > 1:
+        # Single-process policy only: a local retry re-enters the loop
+        # with the OTHER hosts still blocked inside the dead step's
+        # collectives — the resumed host would issue fresh collectives
+        # against a desynchronized gang and hang or corrupt the run.
+        # Multi-host recovery must restart ALL processes from the shared
+        # checkpoint (the job scheduler's restart policy + --resume).
+        log.warning("--retries disabled under multi-process execution "
+                    "(%d processes): in-process resume cannot rejoin the "
+                    "collective gang; rely on whole-job restart with "
+                    "--resume", jax.process_count())
+        retries = 0
     attempt = 0
     while True:
         try:
@@ -59,11 +80,15 @@ def run_with_retries(run_fn: Callable, config, retries: int = 0,
             latest = os.path.join(kwargs.get("weights_root", "weights"),
                                   config.MODEL.NAME, "latest")
             has_ckpt = os.path.isdir(latest)
+            wait = retry_backoff_s * attempt
             log.warning(
-                "Backend failure (%s); %s (attempt %d/%d)",
+                "Backend failure (%s); %s in %.0fs (attempt %d/%d)",
                 str(e).splitlines()[0][:120],
                 "resuming from last checkpoint" if has_ckpt
                 else "no checkpoint yet - restarting fresh",
-                attempt, retries)
+                wait, attempt, retries)
+            if wait > 0:
+                import time
+                (_sleep or time.sleep)(wait)
             kwargs = dict(kwargs, resume=has_ckpt,
                           overwrite=not has_ckpt)

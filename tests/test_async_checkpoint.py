@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from fast3dhpe_tpu.train.checkpoint import (
-    AsyncCheckpointWriter, SyncCheckpointWriter, make_checkpoint_writer,
-    restore_checkpoint, save_checkpoint)
+    AsyncCheckpointWriter, NullCheckpointWriter, SyncCheckpointWriter,
+    make_checkpoint_writer, restore_checkpoint, save_checkpoint)
 
 
 def tree_of(seed, n=8):
@@ -109,6 +109,30 @@ class TestAsyncCheckpointWriter:
                           SyncCheckpointWriter)
 
 
+class TestProcessZeroGating:
+    """Multi-host safety: only process 0 may touch the shared checkpoint
+    tree (N orbax writers racing on weights/<NAME>/latest would corrupt
+    it). Simulated by monkeypatching jax.process_index — the decision
+    under test (gate at writer construction) is host-local."""
+
+    def test_factory_gates_nonzero_process(self, monkeypatch):
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        assert isinstance(make_checkpoint_writer(True),
+                          NullCheckpointWriter)
+        assert isinstance(make_checkpoint_writer(False),
+                          NullCheckpointWriter)
+
+    def test_null_writer_writes_nothing(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        w = make_checkpoint_writer(False)
+        path = str(tmp_path / "ckpt")
+        w.save(path, tree_of(0))
+        w.wait()
+        w.close()
+        assert not os.path.exists(path)
+        assert list(tmp_path.iterdir()) == []
+
+
 @pytest.mark.slow
 class TestLoopIntegration:
     def test_loop2d_async_checkpoint_resumable(self, tmp_path):
@@ -147,3 +171,47 @@ class TestLoopIntegration:
         s = load_variables(str(tmp_path / "w_sync" / "sync_ck" / "latest"))
         assert_tree_equal(a["params"], s["params"])
         assert_tree_equal(a["batch_stats"], s["batch_stats"])
+
+    def test_multihost_run_writes_exactly_one_checkpoint_tree(
+            self, tmp_path, monkeypatch):
+        """Simulated 2-process training: the loop run as process 1 writes
+        NOTHING under weights_root. (Process 0's side — exactly one tree
+        written while both processes train — can't be simulated with a
+        monkeypatch: orbax consults jax.process_count() internally and
+        needs the real distributed client; it is covered for real in
+        tests/test_distributed_real.py.)"""
+        from fast3dhpe_tpu.config import config_from_dict
+        from fast3dhpe_tpu.data.synthetic import make_synthetic_mads
+        from fast3dhpe_tpu.train import loop2d
+
+        root = tmp_path / "mads"
+        make_synthetic_mads(str(root), n_frames=4, img_w=64, img_h=64)
+        cfg = config_from_dict({
+            "DATASET": {"TYPE": "MADS_2d", "ROOT": str(root),
+                        "TRAIN_SET": "train", "TEST_SET": "valid",
+                        "FLIP": True, "ROT_FACTOR": 30,
+                        "SCALE_FACTOR": 0.25, "OCCLUSION": "None"},
+            "MODEL": {"NUM_JOINTS": 19, "NUM_LAYERS": 18,
+                      "NAME": "mh_gate", "PRETRAINED": "",
+                      "IMAGE_SIZE": [64, 64],
+                      "EXTRA": {"TARGET_TYPE": "gaussian", "SIGMA": 1,
+                                "HEATMAP_SIZE": [16, 16]}},
+            "TRAIN": {"BATCH_SIZE": 4, "EPOCH": 1, "LR": 1e-3,
+                      "LR_STEP": [40], "LR_FACTOR": 0.1, "WARMUP": 0,
+                      "LOSS_3D_WEIGHT": 4},
+            "TEST": {"BATCH_SIZE": 4},
+            "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSE"},
+        })
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        w1 = tmp_path / "w_host1"
+        loop2d.run(cfg, overwrite=True, seed=0, weights_root=str(w1))
+        assert not w1.exists() or list(w1.rglob("*")) == []
+
+        # sanity: back to a single-process world, the same run writes
+        monkeypatch.setattr(jax, "process_count", lambda: 1)
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        w0 = tmp_path / "w_host0"
+        loop2d.run(cfg, overwrite=True, seed=0, weights_root=str(w0))
+        assert (w0 / "mh_gate" / "latest").is_dir()

@@ -298,7 +298,7 @@ class TestScanEpoch:
         # compare every stacked array
         c = Stereo3DLoader(cfg, "train", seed=3,
                            device_cache_bytes=1 << 30)
-        cache = c._ensure_device_cache()
+        cache = c.ensure_device_cache()
         hw = cache.frames.shape[1:3]
         rng = np.random.RandomState(3 + 0)
         n_steps = 0
@@ -531,7 +531,7 @@ class TestPartialCache:
         cfg = make_cfg(mads_root, batch=3)      # 10 records -> 4 batches
         loader = Stereo3DLoader(cfg, "train", seed=0,
                                 device_cache_bytes=self._half_budget())
-        cache = loader._ensure_device_cache()
+        cache = loader.ensure_device_cache()
         assert cache.partial
         rng = np.random.RandomState(0)
         lanes = list(loader._epoch_partial_batches(rng, cache))

@@ -101,12 +101,12 @@ class TestTrain2DEndToEnd:
 @pytest.mark.slow
 class TestInferenceApps:
     def test_baseline_app_runs(self, mads_root, tmp_path):
-        cfg = tiny_cfg(mads_root, dataset_type="MADS_2d", epochs=1,
+        cfg = tiny_cfg(mads_root, dataset_type="MADS_2d", epochs=8,
                        name="base_app")
         cfg.LOSS.TYPE = "JointsMSE"
         weights_root = str(tmp_path / "weights")
         loop2d.run(cfg, overwrite=True, weights_root=weights_root,
-                   max_steps_per_epoch=2)
+                   seed=0)
 
         from fast3dhpe_tpu.apps.baseline import BaselineEstimator
         from fast3dhpe_tpu.data import LoadMADSData
@@ -115,6 +115,22 @@ class TestInferenceApps:
                               cfg.MODEL.IMAGE_SIZE, "HipHop")
         e2, e3 = est.evaluate_movement(stream, batch_size=4)
         assert np.isfinite(e2) and np.isfinite(e3)
+
+        # the TRAINED checkpoint must carry signal end-to-end through
+        # the hard-argmax + closed-form-triangulation pipeline: swap in
+        # random-init weights and the 2D error must get worse (the
+        # head-to-head evidence at scale is scripts/head_to_head.py;
+        # this guards the app path itself on a trained checkpoint)
+        import jax
+        trained = est.variables
+        rand = est.model.init(jax.random.PRNGKey(99),
+                              np.zeros((1, *cfg.MODEL.IMAGE_SIZE, 3),
+                                       np.float32), train=False)
+        est.variables = {"params": rand["params"],
+                         "batch_stats": rand["batch_stats"]}
+        e2_rand, _ = est.evaluate_movement(stream, batch_size=4)
+        est.variables = trained
+        assert e2 < e2_rand, (e2, e2_rand)
 
         # reference baseline's render/GIF flow [ref: baseline.py:85-137]
         from fast3dhpe_tpu.utils import save_gif

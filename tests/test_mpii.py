@@ -97,6 +97,48 @@ class TestMPII:
         assert loader.device_preprocess is True
         assert loader.pad_bucket == 128
 
+    @pytest.mark.slow
+    def test_training_smoke_loss_falls_pck_rises(self, tmp_path):
+        """Drive the REAL 2D training loop (apps/train.py's core,
+        loop2d.run) on a synthetic MPII tree — variable frame sizes, 16
+        joints, center/scale annots — through the bucketed device-warp
+        path, and assert the loss falls and PCK rises. Closes the one
+        pipeline that had no training-level evidence (the reference
+        trains mpii via the same loop [ref: train.py:17-164,
+        configs/mpii.yaml])."""
+        from fast3dhpe_tpu.data.synthetic import make_synthetic_mpii
+        from fast3dhpe_tpu.train import loop2d
+
+        root = tmp_path / "mpii"
+        make_synthetic_mpii(str(root), n_train=24, n_valid=8)
+        cfg = config_from_dict({
+            # augmentation off: 10 epochs on 24 frames must memorize,
+            # not generalize — this is a pipeline smoke, not a benchmark
+            "DATASET": {"TYPE": "MPII", "ROOT": str(root),
+                        "TRAIN_SET": "train", "TEST_SET": "valid",
+                        "FLIP": False, "ROT_FACTOR": 0,
+                        "SCALE_FACTOR": 0},
+            "MODEL": {"NUM_JOINTS": 16, "NUM_LAYERS": 18,
+                      "NAME": "mpii_smoke", "PRETRAINED": "",
+                      "IMAGE_SIZE": [64, 64],
+                      "EXTRA": {"SIGMA": 2, "HEATMAP_SIZE": [16, 16]}},
+            "TRAIN": {"BATCH_SIZE": 8, "EPOCH": 10, "LR": 2e-3,
+                      "LR_STEP": [40], "LR_FACTOR": 0.1},
+            "TEST": {"BATCH_SIZE": 8},
+            "LOSS": {"USE_TARGET_WEIGHT": True, "TYPE": "JointsMSE"},
+        })
+        hist = loop2d.run(cfg, overwrite=True, seed=0,
+                          weights_root=str(tmp_path / "w"))
+        assert len(hist["train_loss"]) == 10
+        # calibration (this exact seed-0 setup, 25-epoch probe): train
+        # loss 0.0234 -> 0.0055 by ep10; val PCK 0.055 -> 0.148 by ep10,
+        # plateauing ~0.16 — PCK@H/10 on 16x16 heatmaps is a 1.6-px
+        # threshold, so ~0.15 is the resolution floor, not a failure
+        assert hist["train_loss"][-1] < 0.5 * hist["train_loss"][0], hist
+        assert max(hist["val_acc"]) > hist["val_acc"][0], hist
+        assert max(hist["train_acc"]) > 0.08, hist
+        assert max(hist["val_acc"]) > 0.12, hist
+
     @pytest.mark.parametrize("image_set", ["valid", "train"])
     def test_device_vs_host_preprocess_parity(self, mpii_root, image_set):
         """MPII's variable-size frames, zero-padded to a bucketed batch

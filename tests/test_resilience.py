@@ -42,7 +42,7 @@ class TestRunWithRetries:
             return {"ok": True}
 
         out = run_with_retries(run, FakeCfg(), retries=2,
-                               overwrite=True, seed=3)
+                               retry_backoff_s=0, overwrite=True, seed=3)
         assert out == {"ok": True}
         assert len(calls) == 1 and calls[0]["overwrite"] is True
 
@@ -57,7 +57,7 @@ class TestRunWithRetries:
                 raise _unavailable()
             return {"resumed": kw["resume"]}
 
-        out = run_with_retries(run, FakeCfg(), retries=2,
+        out = run_with_retries(run, FakeCfg(), retries=2, retry_backoff_s=0,
                                weights_root=wroot, overwrite=True)
         assert out == {"resumed": True}
         assert calls[0]["overwrite"] is True
@@ -73,17 +73,34 @@ class TestRunWithRetries:
                 raise _unavailable()
             return {}
 
-        run_with_retries(run, FakeCfg(), retries=1, weights_root=wroot,
-                         overwrite=True)
+        run_with_retries(run, FakeCfg(), retries=1, retry_backoff_s=0,
+                         weights_root=wroot, overwrite=True)
         assert calls[1]["resume"] is False
         assert calls[1]["overwrite"] is True
+
+    def test_retries_disabled_under_multiprocess(self, monkeypatch):
+        """A local in-process resume cannot rejoin a multi-host collective
+        gang (the other hosts are still blocked in the dead step) — under
+        process_count > 1 the wrapper must NOT retry; whole-job restart
+        with --resume is the multi-host recovery path."""
+        import jax
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        calls = []
+
+        def run(cfg, **kw):
+            calls.append(1)
+            raise _unavailable()
+
+        with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+            run_with_retries(run, FakeCfg(), retries=3)
+        assert len(calls) == 1          # no local retry attempted
 
     def test_retries_exhausted_raises(self):
         def run(cfg, **kw):
             raise _unavailable()
 
         with pytest.raises(RuntimeError, match="UNAVAILABLE"):
-            run_with_retries(run, FakeCfg(), retries=2)
+            run_with_retries(run, FakeCfg(), retries=2, retry_backoff_s=0)
 
     def test_non_retryable_raises_immediately(self):
         calls = []
@@ -95,3 +112,19 @@ class TestRunWithRetries:
         with pytest.raises(ValueError):
             run_with_retries(run, FakeCfg(), retries=5)
         assert len(calls) == 1
+
+    def test_backoff_scales_linearly_per_attempt(self):
+        """The relay's TPU worker takes minutes to restart — immediate
+        retries burn every attempt against the still-dead backend. The
+        wrapper must wait retry_backoff_s * attempt between re-entries."""
+        waits, calls = [], []
+
+        def run(cfg, **kw):
+            calls.append(1)
+            if len(calls) <= 2:
+                raise _unavailable()
+            return {}
+
+        run_with_retries(run, FakeCfg(), retries=3, retry_backoff_s=45,
+                         _sleep=waits.append)
+        assert waits == [45, 90]
