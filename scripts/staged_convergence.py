@@ -50,6 +50,15 @@ def main():
                     help="resume both stages from their rolling "
                          "checkpoints in workdir (for restarting after a "
                          "relay/worker crash that outlived --retries)")
+    ap.add_argument("--per_batch", action="store_true",
+                    help="stage 2 with scan_epochs=False: the CDR-101 "
+                         "SEGMENT compile (25 train+eval epochs of the "
+                         "stereo graph in one scan) deterministically "
+                         "crashed the relay's TPU worker in round 4 — "
+                         "per-batch steps compile train_step-sized "
+                         "graphs and make the rolling checkpoints + "
+                         "--retries actually effective (a segment crash "
+                         "dies before step 1)")
     args = ap.parse_args()
 
     from fast3dhpe_tpu.config import config_from_dict
@@ -136,6 +145,7 @@ def main():
         loop_cdr.run, cfg3d, retries=3,
         overwrite=not resume3d, resume=resume3d,
         weights_root=weights, compute_dtype="bfloat16",
+        scan_epochs=False if args.per_batch else None,
         checkpoint_every=args.checkpoint_every)
     post = hist["val_mpjpe_3d"][args.warmup + 1:] or hist["val_mpjpe_3d"]
     if not post:
