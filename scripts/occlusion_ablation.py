@@ -131,6 +131,11 @@ def main():
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse existing checkpoints in workdir")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--segments", action="store_true",
+                    help="allow the scan-segment path (default per-batch: "
+                         "the CDR segment compile crashed the relay's TPU "
+                         "worker in r4 — see CLAUDE.md; per-batch CDR-18 "
+                         "epochs are ~3 s here anyway)")
     args = ap.parse_args()
 
     import tempfile
@@ -162,6 +167,7 @@ def main():
                 loop_cdr.run, cfg, retries=3, overwrite=not resume,
                 resume=resume, weights_root=weights,
                 compute_dtype="bfloat16",
+                scan_epochs=None if args.segments else False,
                 checkpoint_every=args.checkpoint_every)
             post = (hist["val_mpjpe_3d"][args.warmup + 1:]
                     or hist["val_mpjpe_3d"])
