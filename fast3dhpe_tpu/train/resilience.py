@@ -51,6 +51,17 @@ def run_with_retries(run_fn: Callable, config, retries: int = 0,
         attempt come from here, later attempts force resume=True.
     Returns:
       run_fn's history dict (of the attempt that completed).
+
+    Degrade-on-retry: a crash can be triggered by the WORKLOAD, not the
+    infrastructure — observed on this relay: the CDRNet-101
+    scan-SEGMENT compile crashed the TPU worker on 5/5 attempts, so
+    every retry re-entered the identical compile and died before step 1
+    with nothing to resume. From the second retry onward the loop is
+    re-entered with scan_epochs=False (the per-batch path, smallest
+    graphs): if the crash was workload-shaped, the degraded path
+    completes; if it was genuinely transient, the first same-shape
+    retry already caught it. Callers that pass their own scan_epochs
+    keep it for the first retry and are still degraded after.
     """
     log = logger or logging.getLogger("fast3dhpe")
     import jax
@@ -92,3 +103,9 @@ def run_with_retries(run_fn: Callable, config, retries: int = 0,
                 (_sleep or time.sleep)(wait)
             kwargs = dict(kwargs, resume=has_ckpt,
                           overwrite=not has_ckpt)
+            if attempt >= 2 and kwargs.get("scan_epochs") is not False:
+                log.warning("degrading to per-batch execution "
+                            "(scan_epochs=False): repeated crashes "
+                            "suggest the scan/segment compile itself "
+                            "kills the backend")
+                kwargs["scan_epochs"] = False

@@ -113,6 +113,25 @@ class TestRunWithRetries:
             run_with_retries(run, FakeCfg(), retries=5)
         assert len(calls) == 1
 
+    def test_degrades_to_per_batch_from_second_retry(self):
+        """A workload-shaped crash (the CDR-101 segment compile killed
+        the TPU worker on every attempt, r4) re-crashes identical
+        retries forever; from the second retry the wrapper must re-enter
+        with scan_epochs=False so the degraded path can complete."""
+        calls = []
+
+        def run(cfg, **kw):
+            calls.append(kw.get("scan_epochs"))
+            if kw.get("scan_epochs") is not False:
+                raise _unavailable()      # segment compile kills backend
+            return {"ok": True}
+
+        out = run_with_retries(run, FakeCfg(), retries=3,
+                               retry_backoff_s=0, overwrite=True)
+        assert out == {"ok": True}
+        # attempt 0 + retry 1 keep the caller's path; retry 2 degrades
+        assert calls == [None, None, False]
+
     def test_backoff_scales_linearly_per_attempt(self):
         """The relay's TPU worker takes minutes to restart — immediate
         retries burn every attempt against the still-dead backend. The
