@@ -451,11 +451,19 @@ class TestSegmentExecution:
         h_loop = run("seg2_off", False)
         h_seg = run("seg2_on", True, ckpt_every=2)  # segments E=2, E=1
         for k in ("train_loss", "val_loss", "train_acc", "val_acc"):
+            # acc is PCK: a thresholded COUNT over ~19 joints x 10
+            # samples, quantized in ~0.005 steps — near the zero floor a
+            # sub-ulp scheduling difference legitimately flips a joint
+            # over the threshold (observed: 3 vs 5 joints at epoch 3),
+            # so counts get an absolute two-flip allowance while the
+            # losses stay tight
+            atol0, atol = (0.011, 0.011) if k.endswith("acc") \
+                else (1e-6, 1e-4)
             np.testing.assert_allclose(h_seg[k][0], h_loop[k][0],
-                                       rtol=2e-3, atol=1e-6,
+                                       rtol=2e-3, atol=atol0,
                                        err_msg=f"{k}[0]")
             np.testing.assert_allclose(h_seg[k], h_loop[k], rtol=0.15,
-                                       atol=1e-4, err_msg=k)
+                                       atol=atol, err_msg=k)
 
 
 class TestPartialCache:
