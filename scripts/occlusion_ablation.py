@@ -33,7 +33,7 @@ def _make_cfg(mode, root, layers, epochs, warmup, batch, lr):
                     "TEST_SET": "valid", "FLIP": True, "ROT_FACTOR": 30,
                     "SCALE_FACTOR": 0.25,
                     "OCCLUSION": "CUTOUT" if mode == "cutout" else (
-                        "HIDE_N_SEEK" if mode == "hns" else "None"),
+                        "HNS" if mode == "hns" else "None"),
                     "CACHE_BYTES": 2 << 30,
                     "DEVICE_CACHE_BYTES": 4 << 30},
         "MODEL": {"NUM_JOINTS": 19, "NUM_LAYERS": layers,
