@@ -39,6 +39,16 @@ def main():
                         help="fetch+write checkpoints on a background "
                              "thread so the ~540 MB state transfer "
                              "overlaps training")
+    parser.add_argument("--no_segments", action="store_true",
+                        help="keep scan-EPOCH dispatches but never batch "
+                             "an inter-checkpoint span into one segment "
+                             "graph (workaround for backends that crash "
+                             "on very large compiles; --retries reaches "
+                             "this automatically on the second retry)")
+    parser.add_argument("--per_batch", action="store_true",
+                        help="force classic per-batch execution "
+                             "(scan_epochs=False); the slowest but most "
+                             "robust path")
     args = parser.parse_args()
 
     from ..parallel.distributed import init_distributed
@@ -55,6 +65,9 @@ def main():
                      plot_dir=args.plot_dir, resume=args.resume,
                      log_every=args.log_every,
                      trace_dir=args.trace_dir,
+                     scan_epochs=False if args.per_batch else None,
+                     segments=False if (args.no_segments
+                                        or args.per_batch) else None,
                      checkpoint_every=args.checkpoint_every,
                      async_checkpoint=args.async_checkpoint)
 

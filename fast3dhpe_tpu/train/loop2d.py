@@ -122,9 +122,14 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         resume: bool = False, log_every: Optional[int] = None,
         trace_dir: Optional[str] = None,
         scan_epochs: Optional[bool] = None,
+        segments: Optional[bool] = None,
         checkpoint_every: int = 1,
         async_checkpoint: bool = False) -> Dict:
     """Train PoseResNet; returns a history dict (losses/accs per epoch).
+
+    segments: None (auto) / False — see loop_cdr.run: False keeps
+    scan-EPOCH dispatches without batching inter-checkpoint spans into
+    one segment graph.
 
     async_checkpoint: fetch+write checkpoints on a background thread so
     the ~540 MB device->host state transfer overlaps training instead of
@@ -212,7 +217,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         # span as one dispatch when both loaders cache
         tprobe = train_loader.ensure_device_cache()
         vprobe = valid_loader.ensure_device_cache()
-        if (tprobe is not None and not tprobe.partial
+        if (segments is not False
+                and tprobe is not None and not tprobe.partial
                 and vprobe is not None and not vprobe.partial):
             segment_fn = make_segment_2d(
                 model, loss_fn, config.MODEL.IMAGE_SIZE,

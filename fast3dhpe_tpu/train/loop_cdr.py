@@ -51,6 +51,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         resume: bool = False, log_every: Optional[int] = None,
         trace_dir: Optional[str] = None,
         scan_epochs: Optional[bool] = None,
+        segments: Optional[bool] = None,
         checkpoint_every: int = 1,
         async_checkpoint: bool = False) -> Dict:
     """Train CDRNet; returns history (losses + val MPJPE per epoch).
@@ -72,6 +73,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     removes all per-batch host work. Default (None): auto-enable when
     the cache engages and no per-step hooks (log_every/trace_dir) are
     requested; False forces the per-batch loop.
+    segments: whether scan-epoch execution may further batch a whole
+    inter-checkpoint span (checkpoint_every epochs of train+eval+best-
+    select) into ONE dispatch. Default (None): auto — enabled whenever
+    both loaders fully cache. False keeps scan-EPOCH dispatches (one
+    per epoch) without the segment graph: the CDR-101 segment compile
+    is large enough to crash some backends (this relay's TPU worker,
+    r4 — see CLAUDE.md) where the plain epoch graph still compiles.
     checkpoint_every: save the rolling "latest" checkpoint every N
     epochs (and always on the final epoch / interrupt). Saving CDR-101
     state fetches ~540 MB from device; on a slow link per-epoch saves
@@ -162,7 +170,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         # (steps.make_segment_cdr). Logs/history appear per segment.
         tcache_probe = train_loader.ensure_device_cache()
         vcache_probe = valid_loader.ensure_device_cache()
-        if (tcache_probe is not None and not tcache_probe.partial
+        if (segments is not False
+                and tcache_probe is not None and not tcache_probe.partial
                 and vcache_probe is not None
                 and not vcache_probe.partial):
             segment_fn = make_segment_cdr(

@@ -104,8 +104,17 @@ def run_with_retries(run_fn: Callable, config, retries: int = 0,
             kwargs = dict(kwargs, resume=has_ckpt,
                           overwrite=not has_ckpt)
             if attempt >= 2 and kwargs.get("scan_epochs") is not False:
-                log.warning("degrading to per-batch execution "
-                            "(scan_epochs=False): repeated crashes "
-                            "suggest the scan/segment compile itself "
-                            "kills the backend")
-                kwargs["scan_epochs"] = False
+                # two-stage ladder: segments off first (keeps scan-epoch
+                # amortization — CDR-101's SEGMENT graph is what crashed
+                # this relay's worker while its epoch graph compiles),
+                # then fully per-batch
+                if kwargs.get("segments") is not False:
+                    log.warning("degrading to scan-epoch execution "
+                                "(segments=False): repeated crashes "
+                                "suggest the segment compile itself "
+                                "kills the backend")
+                    kwargs["segments"] = False
+                else:
+                    log.warning("degrading to per-batch execution "
+                                "(scan_epochs=False)")
+                    kwargs["scan_epochs"] = False

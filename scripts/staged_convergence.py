@@ -141,11 +141,16 @@ def main():
     t0 = time.time()
     resume3d = args.resume and os.path.isdir(
         os.path.join(weights, f"staged3d_{args.layers}", "latest"))
+    # stage 2 runs scan-EPOCH but never SEGMENTS: the CDR-101 segment
+    # compile crashes this relay's TPU worker (CLAUDE.md, r4) while the
+    # epoch graph compiles fine — scan-epoch keeps most of the
+    # amortization without the crash exposure
     hist = run_with_retries(
         loop_cdr.run, cfg3d, retries=3,
         overwrite=not resume3d, resume=resume3d,
         weights_root=weights, compute_dtype="bfloat16",
         scan_epochs=False if args.per_batch else None,
+        segments=False,
         checkpoint_every=args.checkpoint_every)
     post = hist["val_mpjpe_3d"][args.warmup + 1:] or hist["val_mpjpe_3d"]
     if not post:

@@ -321,7 +321,7 @@ class TestScanEpoch:
         noise — grad norms are ~1e5 here)."""
         from fast3dhpe_tpu.train import loop_cdr
 
-        def run(scan, name):
+        def run(scan, name, segments=None):
             cfg = make_cfg(mads_root, occl="None",
                            device_cache=1 << 30)
             cfg.MODEL.NAME = name
@@ -329,10 +329,19 @@ class TestScanEpoch:
             return loop_cdr.run(
                 cfg, overwrite=True,
                 weights_root=str(tmp_path / f"w_{name}"),
-                seed=3, scan_epochs=scan)
+                seed=3, scan_epochs=scan, segments=segments)
 
         h_loop = run(False, "scan_off")
         h_scan = run(True, "scan_on")
+        # segments=False (scan-EPOCH dispatches, no segment graph — the
+        # CDR-101 workaround path, see loop_cdr.run) must be bit-equal
+        # to the segmented scan run: same epoch graphs, same RNG
+        # schedule, only the outer batching differs
+        h_noseg = run(True, "scan_noseg", segments=False)
+        for k in ("train_loss", "val_loss", "val_mpjpe_3d",
+                  "val_mpjpe_2d", "grad_norm"):
+            np.testing.assert_allclose(h_noseg[k], h_scan[k], rtol=1e-5,
+                                       err_msg=f"noseg:{k}")
         for k in ("train_loss", "val_loss", "val_mpjpe_3d",
                   "val_mpjpe_2d", "grad_norm"):
             np.testing.assert_allclose(h_scan[k][0], h_loop[k][0],

@@ -113,16 +113,18 @@ class TestRunWithRetries:
             run_with_retries(run, FakeCfg(), retries=5)
         assert len(calls) == 1
 
-    def test_degrades_to_per_batch_from_second_retry(self):
+    def test_degrade_ladder_segments_then_per_batch(self):
         """A workload-shaped crash (the CDR-101 segment compile killed
         the TPU worker on every attempt, r4) re-crashes identical
-        retries forever; from the second retry the wrapper must re-enter
-        with scan_epochs=False so the degraded path can complete."""
+        retries forever. The wrapper degrades in two stages: retry 2
+        drops segments (keeping scan-epoch amortization — the 101 epoch
+        graph compiles where its segment graph does not), retry 3 drops
+        to per-batch."""
         calls = []
 
         def run(cfg, **kw):
-            calls.append(kw.get("scan_epochs"))
-            if kw.get("scan_epochs") is not False:
+            calls.append((kw.get("scan_epochs"), kw.get("segments")))
+            if kw.get("segments") is not False:
                 raise _unavailable()      # segment compile kills backend
             return {"ok": True}
 
@@ -130,7 +132,24 @@ class TestRunWithRetries:
                                retry_backoff_s=0, overwrite=True)
         assert out == {"ok": True}
         # attempt 0 + retry 1 keep the caller's path; retry 2 degrades
-        assert calls == [None, None, False]
+        assert calls == [(None, None), (None, None), (None, False)]
+
+    def test_degrade_ladder_reaches_per_batch(self):
+        """If even the scan-EPOCH graph kills the backend, retry 3 must
+        reach the per-batch floor."""
+        calls = []
+
+        def run(cfg, **kw):
+            calls.append((kw.get("scan_epochs"), kw.get("segments")))
+            if kw.get("scan_epochs") is not False:
+                raise _unavailable()
+            return {"ok": True}
+
+        out = run_with_retries(run, FakeCfg(), retries=3,
+                               retry_backoff_s=0, overwrite=True)
+        assert out == {"ok": True}
+        assert calls == [(None, None), (None, None), (None, False),
+                         (False, False)]
 
     def test_backoff_scales_linearly_per_attempt(self):
         """The relay's TPU worker takes minutes to restart — immediate
