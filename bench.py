@@ -224,6 +224,56 @@ def bench_infer_loop(B=64, n_frames=256, dtype=jnp.bfloat16, epochs=3):
     return pps
 
 
+def bench_cdrnet_int8(batch_sizes=(16, 32, 64, 128), iters=20,
+                      verbose=True):
+    """Int8 PTQ serving throughput (models/quantized.py) vs the bf16
+    path, same serializing-scan methodology. The int8 MXU probe
+    (scripts/int8_probe.py) predicted 1.4-1.7x at CDRNet conv shapes;
+    this measures the full quantized network (encoder+decoder int8,
+    CanonicalFusion bf16, soft-argmax/DLT fp32). Accuracy of the same
+    path on a trained model: scripts/int8_accuracy.py."""
+    from fast3dhpe_tpu.models import CDRNet
+    from fast3dhpe_tpu.models import quantized as qz
+
+    rng = np.random.RandomState(0)
+    model = CDRNet(num_joints=19, num_layers=101, dtype=jnp.bfloat16)
+    imgs0 = jnp.asarray(rng.randn(2, 2, 256, 256, 3), jnp.float32)
+    projs0 = jnp.asarray(_stereo_projs(2))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), imgs0, projs0, train=False)
+    pack = qz.quantize_cdrnet(variables, [(imgs0, projs0)])
+
+    best, best_b, results = 0.0, None, {}
+    for B in batch_sizes:
+        imgs = jnp.asarray(rng.randn(B, 2, 256, 256, 3), jnp.float32)
+        projs = jnp.asarray(_stereo_projs(B))
+
+        def run_n(pack, imgs, projs):
+            def body(carry, _):
+                kp, p3d = qz.cdrnet_int8_apply(pack, carry, projs,
+                                               depth=101)
+                x = carry + jnp.mean(kp) * 1e-9   # serializing dep
+                return x, jnp.sum(p3d)
+            x, sums = jax.lax.scan(body, imgs, None, length=iters)
+            return jnp.sum(sums)
+
+        g = jax.jit(run_n)
+        float(g(pack, imgs, projs))               # compile + warm
+        t0 = time.perf_counter()
+        s = float(g(pack, imgs, projs))
+        dt = (time.perf_counter() - t0) / iters
+        assert np.isfinite(s)
+        pps = B / dt
+        results[B] = pps
+        if verbose:
+            print(f"# int8 batch {B}: {pps:.1f} pairs/s "
+                  f"({dt*1e3:.2f} ms/step)")
+        if pps > best:
+            best, best_b = pps, B
+    print(f"# int8 best: {best:.1f} pairs/s at batch {best_b}")
+    return best, best_b, results
+
+
 def _measure_scan_floor(iters=50):
     """Shared methodology: utils.profiling.measure_scan_floor (one
     baseline for bench.py and scripts/bottleneck_variant_bench.py)."""
@@ -271,6 +321,8 @@ def main():
         bench_infer_loop()
     if "--latency" in sys.argv:
         bench_latency()
+    if "--int8" in sys.argv:
+        bench_cdrnet_int8()
     best, best_b, _ = bench_cdrnet()
     print(json.dumps({
         "metric": "stereo_pairs_per_sec",

@@ -31,20 +31,47 @@ from ..utils.logging import setup_logger
 
 
 class CDRNetInferencer:
-    """Loads weights/<MODEL.NAME>/best{,.pth} and predicts stereo batches."""
+    """Loads weights/<MODEL.NAME>/best{,.pth} and predicts stereo batches.
+
+    With int8=True the forward runs the PTQ path (models/quantized.py,
+    measured 1.4-1.7x at CDRNet conv shapes by the int8 MXU probe):
+    `self.variables` then holds the quantized pack, calibrated from the
+    first `calib_batches` batches of `calib_stream` (a LoadMADSData);
+    every downstream jit is pack-agnostic — it passes `variables`
+    through as an opaque pytree.
+    """
 
     def __init__(self, config, weights_root: str = "weights",
                  dtype=jnp.float32, fused_inference: bool = False,
-                 variables=None):
+                 variables=None, int8: bool = False, calib_stream=None,
+                 calib_batches: int = 2):
         self.config = config
         self.model = CDRNet.from_config(config, dtype=dtype,
                                         fused_inference=fused_inference)
         if variables is None:
             weight_path = os.path.join(weights_root, config.MODEL.NAME)
             variables = load_variables(weight_path)
-        self.variables = variables
+        self.int8 = int8
 
         model = self.model
+        if int8:
+            if calib_stream is None:
+                raise ValueError("int8=True requires calib_stream (a "
+                                 "LoadMADSData to draw calibration "
+                                 "batches from)")
+            from ..models import quantized as qz
+            variables = self.build_int8_pack(
+                variables, calib_stream, n_batches=calib_batches)
+            depth = config.MODEL.NUM_LAYERS
+            dlt = config.MODEL.EXTRA.DLT_METHOD
+
+            def apply_fn(v, imgs, proj):
+                return qz.cdrnet_int8_apply(v, imgs, proj, depth=depth,
+                                            dlt_method=dlt)
+        else:
+            def apply_fn(v, imgs, proj):
+                return model.apply(v, imgs, proj, train=False)
+        self.variables = variables
 
         image_size = tuple(config.MODEL.IMAGE_SIZE)
 
@@ -52,7 +79,7 @@ class CDRNetInferencer:
         def _predict(variables, img_l, img_r, proj):
             imgs = jnp.stack([normalize_imagenet(img_l),
                               normalize_imagenet(img_r)], axis=1)
-            return model.apply(variables, imgs, proj, train=False)
+            return apply_fn(variables, imgs, proj)
 
         @jax.jit
         def _predict_raw(variables, img_l, img_r, trans, proj):
@@ -62,7 +89,7 @@ class CDRNetInferencer:
             wr = affine_warp(img_r, trans, image_size)
             imgs = jnp.stack([normalize_imagenet(wl),
                               normalize_imagenet(wr)], axis=1)
-            return model.apply(variables, imgs, proj, train=False)
+            return apply_fn(variables, imgs, proj)
 
         @jax.jit
         def _predict_eval(variables, img_l, img_r, trans, proj,
@@ -115,6 +142,22 @@ class CDRNetInferencer:
         self._predict_eval_cached = _predict_eval_cached
         self._accum_eval = _accum_eval
         self._eval_movement_scan = _eval_movement_scan
+
+    @staticmethod
+    def build_int8_pack(variables, calib_stream, n_batches: int = 2,
+                        batch_size: int = 16):
+        """Calibrate activation scales on real frames from
+        `calib_stream` and quantize the checkpoint (PTQ)."""
+        from ..models import quantized as qz
+        calib = []
+        for i, b in enumerate(calib_stream.batches(batch_size)):
+            if i >= n_batches:
+                break
+            imgs = jnp.stack(
+                [normalize_imagenet(jnp.asarray(b["img_l"])),
+                 normalize_imagenet(jnp.asarray(b["img_r"]))], axis=1)
+            calib.append((imgs, jnp.asarray(b["proj"], jnp.float32)))
+        return qz.quantize_cdrnet(variables, calib)
 
     def predict_batch(self, img_l, img_r, proj, trans=None):
         """uint8 frames (B, H, W, 3) x2 + proj (B, 2, 3, 4) ->
@@ -219,6 +262,11 @@ def main():
                         help="run bandwidth-bound encoder blocks as fused "
                              "Pallas kernels (requires --bf16; see "
                              "docs/PERFORMANCE.md before enabling)")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve the post-training-quantized int8 "
+                             "path (calibrated on the first batches of "
+                             "the first movement; accuracy delta: "
+                             "scripts/int8_accuracy.py, BASELINE.md)")
     args = parser.parse_args()
     if args.fused_inference and not args.bf16:
         parser.error("--fused_inference requires --bf16 (the Pallas "
@@ -228,10 +276,6 @@ def main():
 
     logger = setup_logger()
     config = load_config(args.config_path)
-    inferencer = CDRNetInferencer(
-        config, weights_root=args.weights_root,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        fused_inference=args.fused_inference)
 
     if args.movement == "all":
         import glob as _glob
@@ -241,6 +285,16 @@ def main():
             if os.path.isdir(p))
     else:
         movements = [args.movement]
+
+    calib_stream = None
+    if args.int8:
+        calib_stream = LoadMADSData(args.data_path,
+                                    config.MODEL.IMAGE_SIZE, movements[0])
+    inferencer = CDRNetInferencer(
+        config, weights_root=args.weights_root,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        fused_inference=args.fused_inference,
+        int8=args.int8, calib_stream=calib_stream)
 
     tot2 = tot3 = total_frames = 0.0
     for movement in movements:
