@@ -44,24 +44,32 @@ class CDRNetInferencer:
     def __init__(self, config, weights_root: str = "weights",
                  dtype=jnp.float32, fused_inference: bool = False,
                  variables=None, int8: bool = False, calib_stream=None,
-                 calib_batches: int = 2):
+                 calib_batches: int = 2, int8_pack: str = None):
         self.config = config
         self.model = CDRNet.from_config(config, dtype=dtype,
                                         fused_inference=fused_inference)
-        if variables is None:
+        self.int8 = int8
+        have_pack = int8 and int8_pack and os.path.exists(int8_pack)
+        if variables is None and not have_pack:
             weight_path = os.path.join(weights_root, config.MODEL.NAME)
             variables = load_variables(weight_path)
-        self.int8 = int8
 
         model = self.model
         if int8:
-            if calib_stream is None:
-                raise ValueError("int8=True requires calib_stream (a "
-                                 "LoadMADSData to draw calibration "
-                                 "batches from)")
             from ..models import quantized as qz
-            variables = self.build_int8_pack(
-                variables, calib_stream, n_batches=calib_batches)
+            if have_pack:
+                # pre-calibrated pack: no fp checkpoint needed at all
+                variables = qz.load_pack(int8_pack)
+            else:
+                if calib_stream is None:
+                    raise ValueError(
+                        "int8=True requires calib_stream (a LoadMADSData "
+                        "to draw calibration batches from) or an "
+                        "existing int8_pack file")
+                variables = self.build_int8_pack(
+                    variables, calib_stream, n_batches=calib_batches)
+                if int8_pack:
+                    qz.save_pack(int8_pack, variables)
             depth = config.MODEL.NUM_LAYERS
             dlt = config.MODEL.EXTRA.DLT_METHOD
 
@@ -267,6 +275,11 @@ def main():
                              "path (calibrated on the first batches of "
                              "the first movement; accuracy delta: "
                              "scripts/int8_accuracy.py, BASELINE.md)")
+    parser.add_argument("--int8_pack", type=str, default=None,
+                        help="path to a .npz quantized pack: loaded if "
+                             "it exists (skips calibration AND the fp "
+                             "checkpoint), written after calibration "
+                             "otherwise")
     args = parser.parse_args()
     if args.fused_inference and not args.bf16:
         parser.error("--fused_inference requires --bf16 (the Pallas "
@@ -287,14 +300,16 @@ def main():
         movements = [args.movement]
 
     calib_stream = None
-    if args.int8:
+    if args.int8 and not (args.int8_pack and
+                          os.path.exists(args.int8_pack)):
         calib_stream = LoadMADSData(args.data_path,
                                     config.MODEL.IMAGE_SIZE, movements[0])
     inferencer = CDRNetInferencer(
         config, weights_root=args.weights_root,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         fused_inference=args.fused_inference,
-        int8=args.int8, calib_stream=calib_stream)
+        int8=args.int8, calib_stream=calib_stream,
+        int8_pack=args.int8_pack)
 
     tot2 = tot3 = total_frames = 0.0
     for movement in movements:

@@ -425,6 +425,43 @@ def cdrnet_int8_apply(pack, imgs, projs, depth: int,
     return kp, pred_3d
 
 
+def save_pack(path: str, pack) -> None:
+    """Persist a quantized pack as one .npz (int8 kernels + scales +
+    the bf16 CF variables), so serving can skip calibration. The pack
+    is a pure nested dict of arrays/ints with string keys, flattened to
+    '/'-joined paths."""
+    import numpy as np
+
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", pack)
+    np.savez(path, **flat)
+
+
+def load_pack(path: str):
+    """Inverse of save_pack; returns the pack with jnp leaves."""
+    import numpy as np
+
+    with np.load(path) as z:
+        pack: dict = {}
+        for key in z.files:
+            parts = key.split("/")
+            node = pack
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            leaf = z[key]
+            node[parts[-1]] = (int(leaf) if parts[-1] == "depth"
+                               else jnp.asarray(leaf))
+    return pack
+
+
 def jit_cdrnet_int8(pack, dlt_method: str = "jacobi"):
     """Convenience: a jitted (imgs, projs) -> (pred_2d, pred_3d) closure
     with the pack passed as a captured ARGUMENT pytree (donate-free,

@@ -77,6 +77,12 @@ def main():
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse existing checkpoint in workdir")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--ckpt", type=str, default=None,
+                    help="evaluate this checkpoint dir instead of "
+                         "training (e.g. a staged_convergence best); "
+                         "requires --data_root")
+    ap.add_argument("--data_root", type=str, default=None,
+                    help="MADS-format dataset root for --ckpt eval")
     args = ap.parse_args()
 
     import tempfile
@@ -89,33 +95,41 @@ def main():
     from fast3dhpe_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
-    work = args.workdir or tempfile.mkdtemp(prefix="int8acc_")
-    os.makedirs(work, exist_ok=True)
-    root = f"{work}/data"
-    if not os.path.isdir(os.path.join(root, "train")):
-        make_synthetic_mads(root, n_frames=args.frames, img_w=256,
-                            img_h=192)
-    weights = f"{work}/weights"
-
-    cfg = _make_cfg(root, args.layers, args.epochs, args.warmup,
-                    args.batch, args.lr)
-    best = os.path.join(weights, cfg.MODEL.NAME, "best")
-    if not (args.skip_train and os.path.isdir(best)):
-        t0 = time.time()
-        resume = args.resume and os.path.isdir(
-            os.path.join(weights, cfg.MODEL.NAME, "latest"))
-        hist = run_with_retries(
-            loop_cdr.run, cfg, retries=3, overwrite=not resume,
-            resume=resume, weights_root=weights,
-            compute_dtype="bfloat16",
-            # CDR segment graphs crash this relay's worker (CLAUDE.md r4)
-            scan_epochs=False)
-        post = (hist["val_mpjpe_3d"][args.warmup + 1:]
-                or hist["val_mpjpe_3d"])
-        print(f"trained {args.epochs} ep in {time.time()-t0:.0f}s; "
-              f"best val 3D {min(post):.1f} mm", flush=True)
-    ckpt = best if os.path.isdir(best) else \
-        os.path.join(weights, cfg.MODEL.NAME, "latest")
+    if args.ckpt:
+        if not args.data_root:
+            ap.error("--ckpt requires --data_root")
+        root = args.data_root
+        cfg = _make_cfg(root, args.layers, args.epochs, args.warmup,
+                        args.batch, args.lr)
+        ckpt = args.ckpt
+    else:
+        work = args.workdir or tempfile.mkdtemp(prefix="int8acc_")
+        os.makedirs(work, exist_ok=True)
+        root = f"{work}/data"
+        if not os.path.isdir(os.path.join(root, "train")):
+            make_synthetic_mads(root, n_frames=args.frames, img_w=256,
+                                img_h=192)
+        weights = f"{work}/weights"
+        cfg = _make_cfg(root, args.layers, args.epochs, args.warmup,
+                        args.batch, args.lr)
+        best = os.path.join(weights, cfg.MODEL.NAME, "best")
+        if not (args.skip_train and os.path.isdir(best)):
+            t0 = time.time()
+            resume = args.resume and os.path.isdir(
+                os.path.join(weights, cfg.MODEL.NAME, "latest"))
+            hist = run_with_retries(
+                loop_cdr.run, cfg, retries=3, overwrite=not resume,
+                resume=resume, weights_root=weights,
+                compute_dtype="bfloat16",
+                # CDR segment graphs crash this relay's worker
+                # (CLAUDE.md r4)
+                scan_epochs=False)
+            post = (hist["val_mpjpe_3d"][args.warmup + 1:]
+                    or hist["val_mpjpe_3d"])
+            print(f"trained {args.epochs} ep in {time.time()-t0:.0f}s; "
+                  f"best val 3D {min(post):.1f} mm", flush=True)
+        ckpt = best if os.path.isdir(best) else \
+            os.path.join(weights, cfg.MODEL.NAME, "latest")
     variables = load_variables(ckpt)
 
     valid_path = os.path.join(root, "valid")

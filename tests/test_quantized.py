@@ -216,6 +216,49 @@ class TestCDRNetInt8:
         ratio = (res["int8"][0] + 1e-6) / (res["bf16"][0] + 1e-6)
         assert 0.3 < ratio < 3.0, res
 
+    def test_sharded_matches_single_device(self):
+        """The int8 graph partitions over a data-parallel mesh: pack
+        replicated, batch sharded, results identical to single-device
+        (int8/int32 arithmetic is exact, so this is a strict check)."""
+        from fast3dhpe_tpu.parallel import make_mesh, replicate
+        from fast3dhpe_tpu.parallel.mesh import batch_sharding
+        import functools
+
+        rng = np.random.RandomState(0)
+        model = CDRNet(num_joints=5, num_layers=18, dtype=jnp.float32)
+        imgs = jnp.asarray(rng.randn(8, 2, 64, 64, 3), jnp.float32)
+        projs = jnp.asarray(stereo_projections(8), jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), imgs[:2], projs[:2],
+                           train=False)
+        pack = qz.quantize_cdrnet(vars_, [(imgs[:2], projs[:2])])
+        fn = jax.jit(functools.partial(qz.cdrnet_int8_apply, depth=18))
+        kp1, p31 = jax.device_get(fn(pack, imgs, projs))
+
+        mesh = make_mesh()
+        sh = batch_sharding(mesh)
+        kp8, p38 = jax.device_get(fn(
+            replicate(mesh, pack),
+            jax.device_put(imgs, sh), jax.device_put(projs, sh)))
+        np.testing.assert_allclose(kp8, kp1, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(p38, p31, rtol=1e-4, atol=1e-2)
+
+    def test_pack_save_load_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        model = CDRNet(num_joints=5, num_layers=18, dtype=jnp.float32)
+        imgs = jnp.asarray(rng.randn(2, 2, 64, 64, 3), jnp.float32)
+        projs = jnp.asarray(stereo_projections(2), jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), imgs, projs,
+                           train=False)
+        pack = qz.quantize_cdrnet(vars_, [(imgs, projs)])
+        path = str(tmp_path / "pack.npz")
+        qz.save_pack(path, pack)
+        pack2 = qz.load_pack(path)
+        assert pack2["depth"] == pack["depth"] == 18
+        kp1, p31 = qz.cdrnet_int8_apply(pack, imgs, projs, depth=18)
+        kp2, p32 = qz.cdrnet_int8_apply(pack2, imgs, projs, depth=18)
+        np.testing.assert_array_equal(np.asarray(kp1), np.asarray(kp2))
+        np.testing.assert_array_equal(np.asarray(p31), np.asarray(p32))
+
     def test_calibration_batches_merge(self):
         # scales from two batches must dominate each single batch
         rng = np.random.RandomState(1)
