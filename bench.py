@@ -2,7 +2,13 @@
 
 Prints ONE JSON line:
   {"metric": "stereo_pairs_per_sec", "value": N, "unit": "pairs/s",
-   "vs_baseline": N / 1.128}
+   "vs_baseline": N / 1.128, "mode": "int8-ptq"|"bf16",
+   "bf16_pairs_per_sec": N, "int8_pairs_per_sec": N}
+
+Both serving paths are measured every run; the headline is the faster
+one (int8 PTQ since round 4 — demonstrated accuracy-neutral on trained
+checkpoints, scripts/int8_accuracy.py / BASELINE.md; the bf16 number
+stays in the line for round-over-round comparability).
 
 Baseline 1.128 pairs/s = the reference torch-CPU CDRNet-101 forward at
 256x256, batch 1 (best CPU batch size), minted on this host — see
@@ -281,7 +287,8 @@ def _measure_scan_floor(iters=50):
     return measure_scan_floor(iters=iters)
 
 
-def bench_latency(batch_sizes=(1, 4, 16), iters=50, dtype=jnp.bfloat16):
+def bench_latency(batch_sizes=(1, 4, 16), iters=50, dtype=jnp.bfloat16,
+                  int8=False):
     """Serving-latency view: per-step device latency at small batches
     (the reference's actual use case is frame-by-frame video).
 
@@ -289,19 +296,26 @@ def bench_latency(batch_sizes=(1, 4, 16), iters=50, dtype=jnp.bfloat16):
     is an UPPER BOUND that includes a fixed per-iteration scan cost
     (~1.3-1.45 ms on this relay). That floor is measured directly with a
     trivial-body scan at the same iteration count and subtracted, giving
-    a floor-corrected model-latency estimate alongside the raw bound."""
+    a floor-corrected model-latency estimate alongside the raw bound.
+
+    int8=True measures the PTQ serving path instead of bf16."""
     floor = _measure_scan_floor(iters=iters)
     print(f"# scan floor: {floor*1e3:.2f} ms/iter (trivial body, "
           f"measured, subtracted below)")
-    best, best_b, results = bench_cdrnet(batch_sizes=batch_sizes,
-                                         iters=iters, dtype=dtype,
-                                         verbose=False)
+    if int8:
+        best, best_b, results = bench_cdrnet_int8(
+            batch_sizes=batch_sizes, iters=iters, verbose=False)
+    else:
+        best, best_b, results = bench_cdrnet(batch_sizes=batch_sizes,
+                                             iters=iters, dtype=dtype,
+                                             verbose=False)
     out = {}
+    tag = "int8 " if int8 else ""
     for B, pps in results.items():
         raw = B / pps * 1e3
         corrected = max(raw - floor * 1e3, 0.0)
         out[B] = {"upper_ms": raw, "corrected_ms": corrected}
-        print(f"# latency batch {B}: {corrected:.2f} ms/step "
+        print(f"# {tag}latency batch {B}: {corrected:.2f} ms/step "
               f"(scan-floor-corrected; raw upper bound {raw:.2f} ms, "
               f"{pps:.1f} pairs/s)")
     return out
@@ -320,15 +334,24 @@ def main():
     if "--infer-loop" in sys.argv:
         bench_infer_loop()
     if "--latency" in sys.argv:
-        bench_latency()
-    if "--int8" in sys.argv:
-        bench_cdrnet_int8()
-    best, best_b, _ = bench_cdrnet()
+        bench_latency(int8="--int8" in sys.argv)
+    best_bf16, _, _ = bench_cdrnet()
+    # Headline = the int8 PTQ serving path: measured accuracy-NEUTRAL on
+    # trained checkpoints (2D delta <= 0.01 px, 3D delta <= 0.2 mm at
+    # both CDR-18 and the staged CDR-101 flagship —
+    # scripts/int8_accuracy.py, BASELINE.md), so it is the configuration
+    # a production deployment would serve. The bf16 number is measured
+    # in the same run and reported alongside.
+    best_i8, _, _ = bench_cdrnet_int8()
+    best = max(best_i8, best_bf16)
     print(json.dumps({
         "metric": "stereo_pairs_per_sec",
         "value": round(best, 2),
         "unit": "pairs/s",
         "vs_baseline": round(best / BASELINE_PAIRS_PER_SEC, 2),
+        "mode": ("int8-ptq" if best_i8 >= best_bf16 else "bf16"),
+        "bf16_pairs_per_sec": round(best_bf16, 2),
+        "int8_pairs_per_sec": round(best_i8, 2),
     }))
 
 

@@ -30,22 +30,36 @@ def main():
                         help="bfloat16 compute in the exported graph")
     parser.add_argument("--out", type=str, default=None,
                         help="output path (default <MODEL.NAME>.stablehlo)")
+    parser.add_argument("--int8_pack", type=str, default=None,
+                        help="export the int8 PTQ path from this .npz "
+                             "pack (apps.inference --int8_pack writes "
+                             "one) instead of the fp checkpoint")
     args = parser.parse_args()
 
     from ..config import load_config
     from ..models import CDRNet
     from ..train.checkpoint import load_variables
-    from ..export import export_cdrnet, save_exported
+    from ..export import (export_cdrnet, export_cdrnet_int8,
+                          save_exported)
 
     config = load_config(args.config_path)
-    model = CDRNet.from_config(
-        config, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
-    variables = load_variables(
-        os.path.join(args.weights_root, config.MODEL.NAME))
     platforms = (args.platforms.split(",") if args.platforms else None)
-    exported = export_cdrnet(
-        model, variables, batch_size=args.batch_size,
-        image_size=tuple(config.MODEL.IMAGE_SIZE), platforms=platforms)
+    if args.int8_pack:
+        from ..models.quantized import load_pack
+        exported = export_cdrnet_int8(
+            load_pack(args.int8_pack), batch_size=args.batch_size,
+            image_size=tuple(config.MODEL.IMAGE_SIZE),
+            platforms=platforms,
+            dlt_method=config.MODEL.EXTRA.DLT_METHOD)
+    else:
+        model = CDRNet.from_config(
+            config, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        variables = load_variables(
+            os.path.join(args.weights_root, config.MODEL.NAME))
+        exported = export_cdrnet(
+            model, variables, batch_size=args.batch_size,
+            image_size=tuple(config.MODEL.IMAGE_SIZE),
+            platforms=platforms)
     out = args.out or f"{config.MODEL.NAME}.stablehlo"
     size = save_exported(exported, out)
     print(f"Wrote {out} ({size / 1e6:.1f} MB, platforms="

@@ -46,6 +46,39 @@ def make_serving_fn(model, variables):
     return serve
 
 
+def make_serving_fn_int8(pack, dlt_method: str = "jacobi"):
+    """Int8 variant of make_serving_fn: serves a PTQ pack
+    (models/quantized.py). The int8 kernels bake into the artifact as
+    constants — ~4x smaller than an fp32 export, and the graph runs the
+    quantized MXU path on TPU (measured 1.32x, docs/PERFORMANCE.md)."""
+    from .models import quantized as qz
+    depth = int(pack["depth"])
+
+    def serve(img_l, img_r, proj):
+        imgs = jnp.stack([normalize_imagenet(img_l),
+                          normalize_imagenet(img_r)], axis=1)
+        return qz.cdrnet_int8_apply(pack, imgs, proj, depth=depth,
+                                    dlt_method=dlt_method)
+
+    return serve
+
+
+def export_cdrnet_int8(pack, batch_size: int,
+                       image_size: Tuple[int, int] = (256, 256),
+                       platforms: Optional[Sequence[str]] = None,
+                       n_views: int = 2,
+                       dlt_method: str = "jacobi") -> "jexport.Exported":
+    """export_cdrnet for a quantized pack (same signature contract)."""
+    H, W = int(image_size[1]), int(image_size[0])
+    serve = make_serving_fn_int8(pack, dlt_method)
+    img = jax.ShapeDtypeStruct((batch_size, H, W, 3), jnp.uint8)
+    proj = jax.ShapeDtypeStruct((batch_size, n_views, 3, 4), jnp.float32)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jexport.export(jax.jit(serve), **kwargs)(img, img, proj)
+
+
 def export_cdrnet(model, variables, batch_size: int,
                   image_size: Tuple[int, int] = (256, 256),
                   platforms: Optional[Sequence[str]] = None,

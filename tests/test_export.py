@@ -29,6 +29,43 @@ def tiny_model():
     return model, variables, imgs, proj
 
 
+class TestExportInt8:
+    def test_int8_export_roundtrip(self, tiny_model, tmp_path):
+        """The PTQ pack exports to StableHLO and the loaded artifact
+        reproduces the in-process int8 path (same quantized arithmetic,
+        so agreement is tight despite the untrained net)."""
+        from fast3dhpe_tpu.export import (export_cdrnet_int8,
+                                          make_serving_fn_int8)
+        from fast3dhpe_tpu.models import quantized as qz
+        from fast3dhpe_tpu.ops.warp import normalize_imagenet
+
+        model, variables, imgs, proj = tiny_model
+        B, H = imgs.shape[0], imgs.shape[2]
+        imgs_n = jnp.stack([normalize_imagenet(jnp.asarray(imgs[:, 0])),
+                            normalize_imagenet(jnp.asarray(imgs[:, 1]))],
+                           axis=1)
+        pack = qz.quantize_cdrnet(variables, [(imgs_n, jnp.asarray(proj))])
+
+        exported = export_cdrnet_int8(pack, batch_size=B,
+                                      image_size=(H, H))
+        path = str(tmp_path / "m_int8.stablehlo")
+        save_exported(exported, path)
+        serve = load_serving(path)
+        kp, p3 = serve(imgs[:, 0], imgs[:, 1], proj)
+        assert kp.shape == (B, 2, 19, 2)
+        assert p3.shape == (B, 19, 3)
+
+        ref = jax.jit(make_serving_fn_int8(pack))
+        kp_ref, p3_ref = ref(jnp.asarray(imgs[:, 0]),
+                             jnp.asarray(imgs[:, 1]), jnp.asarray(proj))
+        np.testing.assert_allclose(np.asarray(kp), np.asarray(kp_ref),
+                                   rtol=1e-4, atol=1e-3)
+        p3, p3_ref = np.asarray(p3), np.asarray(p3_ref)
+        scale = np.abs(p3_ref).max() + 1.0
+        np.testing.assert_allclose(p3 / scale, p3_ref / scale,
+                                   rtol=0, atol=1e-3)
+
+
 class TestExportRoundtrip:
     def test_serialize_load_matches_direct(self, tiny_model, tmp_path):
         model, variables, imgs, proj = tiny_model
