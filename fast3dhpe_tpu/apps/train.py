@@ -51,6 +51,13 @@ def main():
                         help="force classic per-batch execution "
                              "(scan_epochs=False); the slowest but most "
                              "robust path")
+    parser.add_argument("--segment_epochs", type=int, default=None,
+                        help="epochs per segment GRAPH, decoupled from "
+                             "--checkpoint_every (clamped to it): small "
+                             "segments keep most of the dispatch "
+                             "amortization with a far smaller compile — "
+                             "the escape hatch when the full-span "
+                             "segment graph crashes the backend compiler")
     args = parser.parse_args()
 
     from ..parallel.distributed import init_distributed
@@ -71,6 +78,7 @@ def main():
                      segments=False if (args.no_segments
                                         or args.per_batch) else None,
                      checkpoint_every=args.checkpoint_every,
+                     segment_epochs=args.segment_epochs,
                      async_checkpoint=args.async_checkpoint)
 
 

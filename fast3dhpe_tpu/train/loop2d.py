@@ -124,12 +124,16 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         scan_epochs: Optional[bool] = None,
         segments: Optional[bool] = None,
         checkpoint_every: int = 1,
+        segment_epochs: Optional[int] = None,
         async_checkpoint: bool = False) -> Dict:
     """Train PoseResNet; returns a history dict (losses/accs per epoch).
 
     segments: None (auto) / False — see loop_cdr.run: False keeps
     scan-EPOCH dispatches without batching inter-checkpoint spans into
     one segment graph.
+    segment_epochs: epochs per segment graph, decoupled from the
+    checkpoint cadence (see loop_cdr.run; default checkpoint_every,
+    clamped to it).
 
     async_checkpoint: fetch+write checkpoints on a background thread so
     the ~540 MB device->host state transfer overlaps training instead of
@@ -270,10 +274,15 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         # fixed segment length: pad ragged segments with cond-skipped
         # epochs so one compiled graph serves every dispatch (see
         # loop_cdr._run_segments)
-        E_full = min(checkpoint_every, n_epochs) or 1
+        seg_len = max(1, min(segment_epochs or checkpoint_every,
+                             checkpoint_every))
+        E_full = min(seg_len, n_epochs) or 1
         epoch = start_epoch
         while epoch < n_epochs:
-            boundary = min((epoch // checkpoint_every + 1)
+            # segments tile the seg_len grid; saves stay on the
+            # checkpoint_every grid (see loop_cdr._run_segments)
+            boundary = min((epoch // seg_len + 1) * seg_len,
+                           (epoch // checkpoint_every + 1)
                            * checkpoint_every, n_epochs)
             E = boundary - epoch
             t0 = time.time()
@@ -317,7 +326,10 @@ def run(config: Config, mesh=None, overwrite: bool = False,
             if new_best > best_acc:
                 best_acc = new_best
                 best_dirty = True
-            epoch = boundary        # == a checkpoint boundary or the end
+            epoch = boundary
+            # save only on the checkpoint grid (or at the end)
+            if epoch % checkpoint_every != 0 and epoch != n_epochs:
+                continue
             if best_dirty:
                 ckpt.save(os.path.join(model_path, "best"),
                           _state_tree(best_state, best_acc))

@@ -53,6 +53,7 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         scan_epochs: Optional[bool] = None,
         segments: Optional[bool] = None,
         checkpoint_every: int = 1,
+        segment_epochs: Optional[int] = None,
         async_checkpoint: bool = False) -> Dict:
     """Train CDRNet; returns history (losses + val MPJPE per epoch).
 
@@ -80,6 +81,15 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     per epoch) without the segment graph: the CDR-101 segment compile
     is large enough to crash some backends (this relay's TPU worker,
     r4 — see CLAUDE.md) where the plain epoch graph still compiles.
+    segment_epochs: epochs per segment GRAPH (default: checkpoint_every,
+    clamped to it). Segment graph size and checkpoint cadence are
+    different concerns: the dispatch-amortization win saturates after a
+    handful of epochs per dispatch, while saves should stay rare (each
+    CDR-101 save fetches ~540 MB). A smaller segment graph also
+    compiles where the full-span one cannot — the E=25 CDR-101 segment
+    crashes this relay's TPU worker (CLAUDE.md, r4) while small-E
+    segments of the same model compile fine. Checkpoints still happen
+    only at checkpoint_every boundaries.
     checkpoint_every: save the rolling "latest" checkpoint every N
     epochs (and always on the final epoch / interrupt). Saving CDR-101
     state fetches ~540 MB from device; on a slow link per-epoch saves
@@ -235,10 +245,15 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         # cond-skipped) epochs so one compiled graph serves the whole
         # run — a second length would recompile the largest program in
         # the codebase (minutes on the dev relay)
-        E_full = min(checkpoint_every, n_epochs) or 1
+        seg_len = max(1, min(segment_epochs or checkpoint_every,
+                             checkpoint_every))
+        E_full = min(seg_len, n_epochs) or 1
         epoch = start_epoch
         while epoch < n_epochs:
-            boundary = min((epoch // checkpoint_every + 1)
+            # never cross a checkpoint boundary: segments tile the
+            # seg_len grid, saves happen on the checkpoint_every grid
+            boundary = min((epoch // seg_len + 1) * seg_len,
+                           (epoch // checkpoint_every + 1)
                            * checkpoint_every, n_epochs)
             E = boundary - epoch
             t0 = time.time()
@@ -288,7 +303,12 @@ def run(config: Config, mesh=None, overwrite: bool = False,
             if new_best < best_err:
                 best_err = new_best
                 best_dirty = True
-            epoch = boundary        # == a checkpoint boundary or the end
+            epoch = boundary
+            # save only on the checkpoint grid (or at the end): with
+            # segment_epochs < checkpoint_every several segments share
+            # one save
+            if epoch % checkpoint_every != 0 and epoch != n_epochs:
+                continue
             if best_dirty:
                 ckpt.save(os.path.join(model_path, "best"),
                           _state_tree(best_state, best_err))

@@ -50,6 +50,12 @@ def main():
                     help="resume both stages from their rolling "
                          "checkpoints in workdir (for restarting after a "
                          "relay/worker crash that outlived --retries)")
+    ap.add_argument("--segment_epochs", type=int, default=None,
+                    help="re-enable stage-2 SEGMENT execution with this "
+                         "many epochs per segment graph (decoupled from "
+                         "--checkpoint_every): small CDR-101 segments "
+                         "compile where the full-span graph crashes the "
+                         "relay's TPU worker")
     ap.add_argument("--per_batch", action="store_true",
                     help="stage 2 with scan_epochs=False: the CDR-101 "
                          "SEGMENT compile (25 train+eval epochs of the "
@@ -141,16 +147,18 @@ def main():
     t0 = time.time()
     resume3d = args.resume and os.path.isdir(
         os.path.join(weights, f"staged3d_{args.layers}", "latest"))
-    # stage 2 runs scan-EPOCH but never SEGMENTS: the CDR-101 segment
-    # compile crashes this relay's TPU worker (CLAUDE.md, r4) while the
-    # epoch graph compiles fine — scan-epoch keeps most of the
-    # amortization without the crash exposure
+    # stage 2 default: scan-EPOCH but never full-span SEGMENTS — the
+    # E=25 CDR-101 segment compile crashes this relay's TPU worker
+    # (CLAUDE.md, r4) while the epoch graph compiles fine.
+    # --segment_epochs N re-enables segments with a small per-dispatch
+    # graph (N epochs), which compiles where the full span cannot.
     hist = run_with_retries(
         loop_cdr.run, cfg3d, retries=3,
         overwrite=not resume3d, resume=resume3d,
         weights_root=weights, compute_dtype="bfloat16",
         scan_epochs=False if args.per_batch else None,
-        segments=False,
+        segments=None if args.segment_epochs else False,
+        segment_epochs=args.segment_epochs,
         checkpoint_every=args.checkpoint_every)
     post = hist["val_mpjpe_3d"][args.warmup + 1:] or hist["val_mpjpe_3d"]
     if not post:

@@ -442,6 +442,40 @@ class TestSegmentExecution:
         assert int(tree["step"]) == (best_epoch + 1) * steps_per_epoch, \
             "segment best is not the best epoch's state"
 
+    def test_cdr_segment_epochs_decoupled(self, mads_root, tmp_path):
+        """segment_epochs < checkpoint_every: several small segment
+        graphs per checkpoint span must reproduce the full-span segment
+        run exactly (same dispatch contents, different tiling) and save
+        only on the checkpoint grid."""
+        import os
+        from fast3dhpe_tpu.train import loop_cdr
+
+        def run(name, seg_epochs):
+            cfg = make_cfg(mads_root, occl="None", device_cache=1 << 30)
+            cfg.MODEL.NAME = name
+            cfg.TRAIN.EPOCH = 5
+            cfg.TRAIN.WARMUP = 1
+            return loop_cdr.run(cfg, overwrite=True,
+                                weights_root=str(tmp_path / f"w_{name}"),
+                                seed=3, scan_epochs=True,
+                                checkpoint_every=4,
+                                segment_epochs=seg_epochs)
+
+        h_full = run("segfull", None)       # E tiles: 4, 1
+        h_small = run("segsmall", 2)        # E tiles: 2, 2, 1
+        # different scan lengths compile differently; sub-ulp epoch-1
+        # differences amplify over training (same ladder as the
+        # segments-vs-per-batch test above)
+        for k in ("train_loss", "val_loss", "val_mpjpe_3d",
+                  "val_mpjpe_2d"):
+            np.testing.assert_allclose(h_small[k][0], h_full[k][0],
+                                       rtol=2e-3, err_msg=f"{k}[0]")
+            np.testing.assert_allclose(h_small[k], h_full[k], rtol=0.15,
+                                       err_msg=k)
+        for sub in ("latest", "best"):
+            assert os.path.isdir(os.path.join(
+                str(tmp_path / "w_segsmall"), "segsmall", sub)), sub
+
     def test_2d_segments_match_per_batch_loop(self, mads_root, tmp_path):
         from fast3dhpe_tpu.train import loop2d
 
