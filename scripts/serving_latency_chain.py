@@ -43,6 +43,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 4, 16])
+    ap.add_argument("--int8", action="store_true",
+                    help="measure the int8 PTQ serving path "
+                         "(models/quantized.py) instead of bf16; "
+                         "latency is weight-independent, so the pack is "
+                         "calibrated from the random-init model")
     args = ap.parse_args()
 
     from fast3dhpe_tpu.config import config_from_dict
@@ -73,12 +78,22 @@ def main():
         variables = jax.jit(model.init, static_argnames=("train",))(
             jax.random.PRNGKey(0), imgs, projs, train=False)
 
-        @jax.jit
-        def step(x):
-            _, p3d = model.apply(variables, x, projs, train=False)
-            # serializing dependency: the next frame depends on this
-            # prediction by a numerically negligible amount
-            return x + jnp.mean(p3d).astype(x.dtype) * 1e-12
+        if args.int8:
+            from fast3dhpe_tpu.models import quantized as qz
+            pack = qz.quantize_cdrnet(variables, [(imgs, projs)])
+            depth = int(pack["depth"])
+
+            @jax.jit
+            def step(x):
+                _, p3d = qz.cdrnet_int8_apply(pack, x, projs, depth=depth)
+                return x + jnp.mean(p3d).astype(x.dtype) * 1e-12
+        else:
+            @jax.jit
+            def step(x):
+                _, p3d = model.apply(variables, x, projs, train=False)
+                # serializing dependency: the next frame depends on this
+                # prediction by a numerically negligible amount
+                return x + jnp.mean(p3d).astype(x.dtype) * 1e-12
 
         x = step(imgs)                       # compile
         float(jnp.sum(x))                    # sync
@@ -88,8 +103,10 @@ def main():
         final = float(jnp.sum(x))            # ONE sync for the chain
         dt = (time.perf_counter() - t0) / args.iters
         assert np.isfinite(final)
-        print(f"# chained latency batch {B}: {dt*1e3:.2f} ms/step "
-              f"({B/dt:.1f} pairs/s, {args.iters} dependent dispatches)")
+        mode = "int8" if args.int8 else "bf16"
+        print(f"# chained latency [{mode}] batch {B}: {dt*1e3:.2f} "
+              f"ms/step ({B/dt:.1f} pairs/s, {args.iters} dependent "
+              f"dispatches)")
 
 
 if __name__ == "__main__":
