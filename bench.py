@@ -321,6 +321,30 @@ def bench_latency(batch_sizes=(1, 4, 16), iters=50, dtype=jnp.bfloat16,
     return out
 
 
+def _with_retries(fn, retries=3, backoff_s=90.0):
+    """Re-run a stateless measurement after a retryable backend crash.
+
+    The relay's TPU worker can die underneath any client (observed:
+    "TPU worker process crashed or restarted", ~5 min to come back). The
+    driver runs this script unattended at round end — a transient crash
+    must not cost the round its recorded number. Measurements here are
+    stateless (fresh init each call), so a plain re-run is safe; the
+    UNAVAILABLE-class filter is shared with train.resilience so
+    numerical errors never retry."""
+    from fast3dhpe_tpu.train.resilience import is_retryable
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:            # noqa: BLE001 — filtered below
+            if attempt >= retries or not is_retryable(e):
+                raise
+            wait = backoff_s * (attempt + 1)
+            print(f"# backend failure ({str(e).splitlines()[0][:100]}); "
+                  f"retrying in {wait:.0f}s "
+                  f"(attempt {attempt + 1}/{retries})")
+            time.sleep(wait)
+
+
 def main():
     import sys
     from fast3dhpe_tpu.utils.runtime import enable_compilation_cache
@@ -335,14 +359,14 @@ def main():
         bench_infer_loop()
     if "--latency" in sys.argv:
         bench_latency(int8="--int8" in sys.argv)
-    best_bf16, _, _ = bench_cdrnet()
+    best_bf16, _, _ = _with_retries(bench_cdrnet)
     # Headline = the int8 PTQ serving path: measured accuracy-NEUTRAL on
     # trained checkpoints (2D delta <= 0.01 px, 3D delta <= 0.2 mm at
     # both CDR-18 and the staged CDR-101 flagship —
     # scripts/int8_accuracy.py, BASELINE.md), so it is the configuration
     # a production deployment would serve. The bf16 number is measured
     # in the same run and reported alongside.
-    best_i8, _, _ = bench_cdrnet_int8()
+    best_i8, _, _ = _with_retries(bench_cdrnet_int8)
     best = max(best_i8, best_bf16)
     print(json.dumps({
         "metric": "stereo_pairs_per_sec",

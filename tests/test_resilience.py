@@ -166,3 +166,56 @@ class TestRunWithRetries:
         run_with_retries(run, FakeCfg(), retries=3, retry_backoff_s=45,
                          _sleep=waits.append)
         assert waits == [45, 90]
+
+
+class TestBenchRetries:
+    """bench._with_retries: the driver runs bench.py unattended at round
+    end — a transient relay crash must re-run the (stateless)
+    measurement, and non-retryable errors must propagate unchanged."""
+
+    def _bench(self):
+        import importlib
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        return importlib.import_module("bench")
+
+    def test_retries_then_succeeds(self, monkeypatch):
+        bench = self._bench()
+        waits = []
+        monkeypatch.setattr(bench.time, "sleep", waits.append)
+        calls = []
+
+        def fn():
+            calls.append(1)
+            if len(calls) <= 2:
+                raise _unavailable()
+            return 42
+
+        assert bench._with_retries(fn, retries=3, backoff_s=10) == 42
+        assert len(calls) == 3
+        assert waits == [10, 20]   # linear backoff per attempt
+
+    def test_non_retryable_propagates(self, monkeypatch):
+        bench = self._bench()
+        monkeypatch.setattr(bench.time, "sleep",
+                            lambda s: pytest.fail("slept on non-retryable"))
+
+        def fn():
+            raise ValueError("nan loss")
+
+        with pytest.raises(ValueError):
+            bench._with_retries(fn, retries=3)
+
+    def test_exhausted_retries_raise(self, monkeypatch):
+        bench = self._bench()
+        monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+        calls = []
+
+        def fn():
+            calls.append(1)
+            raise _unavailable()
+
+        with pytest.raises(RuntimeError):
+            bench._with_retries(fn, retries=2)
+        assert len(calls) == 3
