@@ -330,8 +330,10 @@ def _with_retries(fn, retries=3, backoff_s=90.0):
     must not cost the round its recorded number. Measurements here are
     stateless (fresh init each call), so a plain re-run is safe; the
     UNAVAILABLE-class filter is shared with train.resilience so
-    numerical errors never retry."""
-    from fast3dhpe_tpu.train.resilience import is_retryable
+    numerical errors never retry. After the backoff a device round-trip
+    probe (wait_for_backend) holds the retry until the worker actually
+    answers — outages up to >12 min have outlived pure backoff (r4)."""
+    from fast3dhpe_tpu.train.resilience import is_retryable, wait_for_backend
     for attempt in range(retries + 1):
         try:
             return fn()
@@ -343,6 +345,7 @@ def _with_retries(fn, retries=3, backoff_s=90.0):
                   f"retrying in {wait:.0f}s "
                   f"(attempt {attempt + 1}/{retries})")
             time.sleep(wait)
+            wait_for_backend(600.0)
 
 
 def main():

@@ -30,9 +30,62 @@ def is_retryable(exc: BaseException) -> bool:
     return any(s in msg for s in _RETRYABLE)
 
 
+def _default_probe():
+    # device_put + host fetch forces a full round-trip through the
+    # backend; block_until_ready alone does NOT wait on this relay
+    # (CLAUDE.md), and a dead worker raises UNAVAILABLE right here.
+    import jax
+    import numpy as np
+    float(jax.device_put(np.float32(1.0)))
+
+
+def wait_for_backend(deadline_s: float = 600.0, poll_s: float = 30.0,
+                     logger: logging.Logger = None,
+                     _sleep=None, _probe=None) -> bool:
+    """Poll the backend with a trivial device round-trip until it answers.
+
+    A crashed relay worker takes MINUTES to restart (observed: >12 min,
+    r4 — a 600-epoch launch burned all 3 retries in 4.5 min of linear
+    backoff against a worker that came back fine later). Blind backoff
+    either wastes wall clock or gives up too early; probing converts
+    "retry and hope" into "retry when the backend actually answers".
+
+    Returns True once a probe succeeds, False if the deadline passes
+    with the backend still down (the caller may attempt anyway — the
+    probe is advisory). Non-retryable probe errors propagate: a broken
+    client is a bug, not an outage.
+    """
+    log = logger or logging.getLogger("fast3dhpe")
+    import time
+    probe = _probe or _default_probe
+    sleep = _sleep or time.sleep
+    waited = 0.0
+    while True:
+        try:
+            probe()
+            return True
+        except Exception as e:                # noqa: BLE001 — filtered
+            if not is_retryable(e):
+                raise
+            if waited >= deadline_s:
+                log.warning(
+                    "backend still down after %.0fs of probing (%s); "
+                    "attempting anyway", waited,
+                    str(e).splitlines()[0][:80])
+                return False
+            step = min(poll_s, deadline_s - waited)
+            log.info("backend down (%s); re-probing in %.0fs "
+                     "(%.0f/%.0fs)", str(e).splitlines()[0][:80],
+                     step, waited, deadline_s)
+            sleep(step)
+            waited += step
+
+
 def run_with_retries(run_fn: Callable, config, retries: int = 0,
                      logger: logging.Logger = None,
-                     retry_backoff_s: float = 45.0, _sleep=None,
+                     retry_backoff_s: float = 45.0,
+                     backend_wait_s: float = 600.0,
+                     _sleep=None, _probe=None,
                      **kwargs):
     """Call `run_fn(config, **kwargs)` (loop2d.run / loop_cdr.run),
     retrying with resume=True after retryable backend crashes.
@@ -46,7 +99,12 @@ def run_with_retries(run_fn: Callable, config, retries: int = 0,
         restart; retrying immediately burns every attempt against the
         still-restarting backend (observed: 3 retries spent in <10 s,
         then the run died while the worker came back fine later).
-      _sleep: test seam (defaults to time.sleep).
+      backend_wait_s: after the backoff, probe the backend with a tiny
+        device round-trip for up to this long before re-entering
+        (wait_for_backend); 0 disables. Added after an outage outlived
+        the whole linear-backoff budget (r4: >12 min worker restart vs
+        4.5 min of 45/90/135s backoffs).
+      _sleep, _probe: test seams (time.sleep / device round-trip).
       kwargs: forwarded to run_fn; `resume`/`overwrite` of the FIRST
         attempt come from here, later attempts force resume=True.
     Returns:
@@ -101,6 +159,11 @@ def run_with_retries(run_fn: Callable, config, retries: int = 0,
             if wait > 0:
                 import time
                 (_sleep or time.sleep)(wait)
+            if backend_wait_s > 0:
+                # don't re-enter until the backend actually answers (or
+                # the probe deadline passes — then try our luck anyway)
+                wait_for_backend(backend_wait_s, logger=log,
+                                 _sleep=_sleep, _probe=_probe)
             kwargs = dict(kwargs, resume=has_ckpt,
                           overwrite=not has_ckpt)
             if attempt >= 2 and kwargs.get("scan_epochs") is not False:

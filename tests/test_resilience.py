@@ -9,7 +9,8 @@ import os
 
 import pytest
 
-from fast3dhpe_tpu.train.resilience import run_with_retries, is_retryable
+from fast3dhpe_tpu.train.resilience import (run_with_retries, is_retryable,
+                                            wait_for_backend)
 
 
 class FakeCfg:
@@ -151,6 +152,28 @@ class TestRunWithRetries:
         assert calls == [(None, None), (None, None), (None, False),
                          (False, False)]
 
+    def test_probes_backend_before_reentry(self):
+        """After the backoff, the wrapper must not re-enter until the
+        backend answers a probe (r4: a >12-min worker outage outlived
+        the whole 45/90/135s backoff budget and killed the run)."""
+        probes, calls = [], []
+
+        def probe():
+            probes.append(1)
+            if len(probes) <= 3:            # worker down for 3 polls
+                raise _unavailable()
+
+        def run(cfg, **kw):
+            calls.append(1)
+            if len(calls) == 1:
+                raise _unavailable()
+            return {}
+
+        run_with_retries(run, FakeCfg(), retries=1, retry_backoff_s=0,
+                         _sleep=lambda s: None, _probe=probe)
+        assert len(calls) == 2              # re-entered only once healthy
+        assert len(probes) == 4             # 3 failures + 1 success
+
     def test_backoff_scales_linearly_per_attempt(self):
         """The relay's TPU worker takes minutes to restart — immediate
         retries burn every attempt against the still-dead backend. The
@@ -166,6 +189,44 @@ class TestRunWithRetries:
         run_with_retries(run, FakeCfg(), retries=3, retry_backoff_s=45,
                          _sleep=waits.append)
         assert waits == [45, 90]
+
+
+class TestWaitForBackend:
+    def test_returns_true_when_healthy(self):
+        assert wait_for_backend(_probe=lambda: None,
+                                _sleep=lambda s: None) is True
+
+    def test_polls_until_healthy(self):
+        probes, waits = [], []
+
+        def probe():
+            probes.append(1)
+            if len(probes) <= 2:
+                raise _unavailable()
+
+        assert wait_for_backend(deadline_s=600, poll_s=30,
+                                _probe=probe, _sleep=waits.append) is True
+        assert len(probes) == 3
+        assert waits == [30, 30]
+
+    def test_deadline_returns_false(self):
+        waits = []
+
+        def probe():
+            raise _unavailable()
+
+        assert wait_for_backend(deadline_s=60, poll_s=25,
+                                _probe=probe, _sleep=waits.append) is False
+        # 25 + 25 + clamped 10 = 60s of waiting, then one final probe
+        assert waits == [25, 25, 10]
+
+    def test_non_retryable_probe_error_raises(self):
+        """A broken client (not an outage) must propagate, not spin."""
+        def probe():
+            raise ValueError("bad client state")
+
+        with pytest.raises(ValueError):
+            wait_for_backend(_probe=probe, _sleep=lambda s: None)
 
 
 class TestBenchRetries:
