@@ -156,6 +156,10 @@ class TestMonoCacheCorrectness:
 
 
 class TestCachedStreamEval:
+    # the three whole-app eval comparisons below each compile full
+    # inference graphs (~40-160 s on this 1-core host) — slow-marked in
+    # r5 to arrest fast-subset runtime creep (4 -> 18 min over 3 rounds)
+    @pytest.mark.slow
     def test_evaluate_movement_cached_matches_uncached(self, mads_root):
         """The cached eval path (on-device gather from resident frames)
         must reproduce the streaming path's sequence MPJPE."""
@@ -184,6 +188,7 @@ class TestCachedStreamEval:
         np.testing.assert_allclose(e2_cached, e2_plain, rtol=1e-5)
         np.testing.assert_allclose(e3_cached, e3_plain, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_eval_scan_one_compile_across_movement_lengths(self, tmp_path):
         """`--movement all` evaluates movements of DIFFERENT lengths;
         the whole-movement eval scan must reuse ONE compiled graph: the
@@ -252,6 +257,7 @@ class TestCachedStreamEval:
         total = sum(b["n_valid"] for b in batches)
         assert total == 10
 
+    @pytest.mark.slow
     def test_evaluate_movement_partial_matches_uncached(self, mads_root):
         import os
         import jax.numpy as jnp
@@ -605,6 +611,7 @@ class TestPartialCache:
         with pytest.raises(RuntimeError, match="partial"):
             loader.stacked_epoch()
 
+    @pytest.mark.slow   # ~215 s: a full loop_cdr run with fallback
     def test_loop_trains_finite_on_partial_cache(self, mads_root,
                                                  tmp_path):
         """loop_cdr must fall back from scan/segment to the per-batch

@@ -242,6 +242,38 @@ class TestCDRNetInt8:
         np.testing.assert_allclose(kp8, kp1, rtol=1e-5, atol=1e-4)
         np.testing.assert_allclose(p38, p31, rtol=1e-4, atol=1e-2)
 
+    @pytest.mark.slow
+    def test_spatial_sharded_matches_single_device(self):
+        """Int8 serving under the SPATIAL (mp=2) layout — the
+        latency-bound small-batch serving configuration
+        (docs/SCALING.md): image height split over the model axis, pack
+        replicated, XLA inserts the conv halo exchanges. int8/int32
+        conv arithmetic is partition-invariant, so outputs must match
+        the single-device pack bit-for-bit up to the fp32 geometry
+        tail's float reassociation."""
+        from fast3dhpe_tpu.parallel import make_mesh, replicate
+        from fast3dhpe_tpu.parallel.mesh import (batch_sharding,
+                                                 spatial_sharding)
+        import functools
+
+        rng = np.random.RandomState(0)
+        model = CDRNet(num_joints=5, num_layers=18, dtype=jnp.float32)
+        imgs = jnp.asarray(rng.randn(2, 2, 64, 64, 3), jnp.float32)
+        projs = jnp.asarray(stereo_projections(2), jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), imgs, projs,
+                           train=False)
+        pack = qz.quantize_cdrnet(vars_, [(imgs, projs)])
+        fn = jax.jit(functools.partial(qz.cdrnet_int8_apply, depth=18))
+        kp1, p31 = jax.device_get(fn(pack, imgs, projs))
+
+        mesh = make_mesh(model_parallel=2)
+        kp2, p32 = jax.device_get(fn(
+            replicate(mesh, pack),
+            jax.device_put(imgs, spatial_sharding(mesh, 5)),
+            jax.device_put(projs, batch_sharding(mesh))))
+        np.testing.assert_allclose(kp2, kp1, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(p32, p31, rtol=1e-4, atol=1e-2)
+
     def test_pack_save_load_roundtrip(self, tmp_path):
         rng = np.random.RandomState(0)
         model = CDRNet(num_joints=5, num_layers=18, dtype=jnp.float32)
