@@ -54,7 +54,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         segments: Optional[bool] = None,
         checkpoint_every: int = 1,
         segment_epochs: Optional[int] = None,
-        async_checkpoint: bool = False) -> Dict:
+        async_checkpoint: bool = False,
+        early_stop_patience: Optional[int] = None) -> Dict:
     """Train CDRNet; returns history (losses + val MPJPE per epoch).
 
     async_checkpoint: fetch+write checkpoints on a background thread
@@ -90,6 +91,11 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     crashes this relay's TPU worker (CLAUDE.md, r4) while small-E
     segments of the same model compile fine. Checkpoints still happen
     only at checkpoint_every boundaries.
+    early_stop_patience: if set, stop once the post-warmup val 3D MPJPE
+    has not improved for this many epochs — "train until the floor" runs
+    without committing the whole schedule's wall clock up front. On the
+    segment path the check runs at segment granularity (a few epochs of
+    overshoot). The LR schedule still follows config.TRAIN.EPOCH.
     checkpoint_every: save the rolling "latest" checkpoint every N
     epochs (and always on the final epoch / interrupt). Saving CDR-101
     state fetches ~540 MB from device; on a slow link per-epoch saves
@@ -213,6 +219,9 @@ def run(config: Config, mesh=None, overwrite: bool = False,
     n_epochs = max_epochs if max_epochs is not None else config.TRAIN.EPOCH
     warmup = config.TRAIN.WARMUP
     best_state, best_dirty = state, False
+    # early-stop bookkeeping (0-based epoch of the last val-best; a
+    # resume restarts the patience window from the resumed epoch)
+    last_best_epoch = max(start_epoch - 1, warmup)
     ckpt = make_checkpoint_writer(async_checkpoint)
     ev_stacked_saved = None
     history = {"train_loss": [], "val_loss": [], "val_mpjpe_3d": [],
@@ -233,7 +242,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         metadata, dispatches, fetches one (E, ...) metric tree, then
         logs/saves. On interrupt mid-segment, up to E-1 epochs of work
         re-runs after --resume (the saved state is the last boundary)."""
-        nonlocal state, best_state, best_dirty, best_err, global_step
+        nonlocal state, best_state, best_dirty, best_err, global_step, \
+            last_best_epoch
         vcache, vxs, _ = valid_loader.stacked_epoch()
         vxs = _epoch_slice(vxs)
         if mesh is not None:
@@ -299,15 +309,21 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                     tl, gn, seg_pps, vl, e2, e3, dt)
                 if bool(msh["improved"][j]):
                     logger.info("New best (val 3D MPJPE %.2fmm)", e3)
+                    last_best_epoch = epoch + j
             new_best = float(jax.device_get(best_err_dev))
             if new_best < best_err:
                 best_err = new_best
                 best_dirty = True
             epoch = boundary
-            # save only on the checkpoint grid (or at the end): with
-            # segment_epochs < checkpoint_every several segments share
-            # one save
-            if epoch % checkpoint_every != 0 and epoch != n_epochs:
+            stop = (early_stop_patience is not None
+                    and epoch - 1 > warmup
+                    and (epoch - 1) - last_best_epoch
+                    >= early_stop_patience)
+            # save only on the checkpoint grid (or at the end/stop):
+            # with segment_epochs < checkpoint_every several segments
+            # share one save
+            if not stop and epoch % checkpoint_every != 0 \
+                    and epoch != n_epochs:
                 continue
             if best_dirty:
                 ckpt.save(os.path.join(model_path, "best"),
@@ -318,6 +334,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                 os.path.join(model_path, "latest"),
                 _state_tree(state, best_err
                             if best_err != float("inf") else 0.0))
+            if stop:
+                logger.info(
+                    "Early stop at epoch %d: no val improvement for %d "
+                    "epochs (best %.2f mm at epoch %d)", epoch,
+                    (epoch - 1) - last_best_epoch, best_err,
+                    last_best_epoch + 1)
+                break
 
     try:
         with interruptible():   # SIGTERM -> KeyboardInterrupt
@@ -432,9 +455,14 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                 if e3 < best_err and epoch > warmup:
                     best_err = e3
                     best_state, best_dirty = state, True
+                    last_best_epoch = epoch
                     logger.info("New best (val 3D MPJPE %.2fmm)", e3)
+                stop = (early_stop_patience is not None
+                        and epoch > warmup
+                        and epoch - last_best_epoch
+                        >= early_stop_patience)
                 if (epoch + 1) % checkpoint_every == 0 or \
-                        epoch + 1 == n_epochs:
+                        epoch + 1 == n_epochs or stop:
                     if best_dirty:
                         ckpt.save(os.path.join(model_path, "best"),
                                   _state_tree(best_state, best_err))
@@ -445,6 +473,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                         os.path.join(model_path, "latest"),
                         _state_tree(state, best_err if best_err != float(
                             "inf") else 0.0))
+                if stop:
+                    logger.info(
+                        "Early stop at epoch %d: no val improvement for "
+                        "%d epochs (best %.2f mm at epoch %d)", epoch + 1,
+                        epoch - last_best_epoch, best_err,
+                        last_best_epoch + 1)
+                    break
 
     except KeyboardInterrupt:
         logger.warning("Interrupted — saving latest checkpoint "

@@ -56,6 +56,12 @@ def main():
                          "--checkpoint_every): small CDR-101 segments "
                          "compile where the full-span graph crashes the "
                          "relay's TPU worker")
+    ap.add_argument("--patience", type=int, default=None,
+                    help="stage-2 early stop: end training once the val "
+                         "3D MPJPE has not improved for this many epochs "
+                         "— lets a long --epochs3d schedule find the "
+                         "accuracy floor without committing its full "
+                         "wall clock")
     ap.add_argument("--per_batch", action="store_true",
                     help="stage 2 with scan_epochs=False: the CDR-101 "
                          "SEGMENT compile (25 train+eval epochs of the "
@@ -159,7 +165,8 @@ def main():
         scan_epochs=False if args.per_batch else None,
         segments=None if args.segment_epochs else False,
         segment_epochs=args.segment_epochs,
-        checkpoint_every=args.checkpoint_every)
+        checkpoint_every=args.checkpoint_every,
+        early_stop_patience=args.patience)
     post = hist["val_mpjpe_3d"][args.warmup + 1:] or hist["val_mpjpe_3d"]
     if not post:
         print("stage2 already complete (resumed past final epoch); "

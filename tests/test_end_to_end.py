@@ -73,6 +73,24 @@ class TestTrainCDREndToEnd:
             imgs, jnp.asarray(batch["proj"]), train=False)
         assert np.isfinite(np.asarray(p3d)).all()
 
+    def test_early_stop_patience(self, mads_root, tmp_path):
+        # LR=0 freezes params: after the first post-warmup best the val
+        # metric only drifts with BN running stats, so a tight patience
+        # must end the run far before the 30-epoch schedule
+        cfg = tiny_cfg(mads_root, epochs=30, name="es_test")
+        cfg.TRAIN.LR = 0.0
+        weights_root = str(tmp_path / "weights")
+        history = loop_cdr.run(cfg, overwrite=True,
+                               weights_root=weights_root, seed=0,
+                               early_stop_patience=2)
+        n = len(history["val_mpjpe_3d"])
+        assert n < 30, "early stop never triggered"
+        assert n >= 3     # >= first-best epoch + patience
+        # the stop still writes the rolling checkpoint
+        model_dir = os.path.join(weights_root, cfg.MODEL.NAME)
+        assert os.path.isdir(os.path.join(model_dir, "latest"))
+        assert os.path.isdir(os.path.join(model_dir, "best"))
+
     def test_refuses_overwrite_without_flag(self, mads_root, tmp_path):
         cfg = tiny_cfg(mads_root, epochs=1, name="ow_test")
         weights_root = str(tmp_path / "weights")
