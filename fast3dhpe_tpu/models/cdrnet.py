@@ -155,6 +155,9 @@ class CDRNet(nn.Module):
     # rematerialize encoder blocks in the backward pass (training
     # bandwidth lever — see docs/PERFORMANCE.md train-step roofline)
     remat: bool = False
+    # None = full per-block recompute; "convs" = save conv outputs,
+    # recompute only BN/ReLU chains (models/resnet.py remat_policy)
+    remat_policy: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -182,6 +185,7 @@ class CDRNet(nn.Module):
         z = ResNetEncoder(num_layers=self.num_layers, dtype=self.dtype,
                           fused_inference=self.fused_inference,
                           remat=self.remat,
+                          remat_policy=self.remat_policy,
                           name="encoder")(x, train, mask_bv)  # (B*V,h,w,C)
         fh, fw, in_dim = z.shape[1], z.shape[2], z.shape[3]
         zs = z.reshape(B, V, fh, fw, in_dim)

@@ -27,6 +27,9 @@ class PoseResNet(nn.Module):
     # rematerialize encoder blocks in the backward pass (training
     # bandwidth lever — see docs/PERFORMANCE.md train-step roofline)
     remat: bool = False
+    # None = full per-block recompute; "convs" = save conv outputs,
+    # recompute only BN/ReLU chains (models/resnet.py remat_policy)
+    remat_policy: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, row_valid=None):
@@ -37,6 +40,7 @@ class PoseResNet(nn.Module):
                                  dtype=self.dtype,
                                  fused_inference=self.fused_inference,
                                  remat=self.remat,
+                                 remat_policy=self.remat_policy,
                                  name="encoder")(x, train, mask)
         heatmaps = PoseDecoder(num_joints=self.num_joints,
                                dtype=self.dtype, name="decoder")(

@@ -15,9 +15,11 @@ depths 50/101/152 are usable there). We implement the canonical BasicBlock
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from flax import linen as nn
 
 from .layers import conv2d, batch_norm, max_pool_torch
@@ -44,15 +46,21 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_mask=None):
+        # conv outputs carry a checkpoint_name so the selective remat
+        # policy (ResNetEncoder.remat_policy="convs") can save exactly
+        # them; a no-op under plain jit / full remat
         residual = x
         out = conv2d(self.planes, 3, self.stride, 1, "conv1", self.dtype)(x)
+        out = checkpoint_name(out, "conv_out")
         out = batch_norm(train, "bn1", self.dtype)(out, mask=bn_mask)
         out = nn.relu(out)
         out = conv2d(self.planes, 3, 1, 1, "conv2", self.dtype)(out)
+        out = checkpoint_name(out, "conv_out")
         out = batch_norm(train, "bn2", self.dtype)(out, mask=bn_mask)
         if self.downsample:
             residual = conv2d(self.planes * BASIC_EXPANSION, 1, self.stride,
                               0, "downsample_conv", self.dtype)(x)
+            residual = checkpoint_name(residual, "conv_out")
             residual = batch_norm(train, "downsample_bn",
                                   self.dtype)(residual, mask=bn_mask)
         return nn.relu(out + residual)
@@ -139,16 +147,16 @@ class Bottleneck(nn.Module):
         if self._fusable(x, train):
             return self._fused(x)
         residual = x
-        out = self.conv1(x)
+        out = checkpoint_name(self.conv1(x), "conv_out")
         out = self.bn1(out, use_running_average=not train, mask=bn_mask)
         out = nn.relu(out)
-        out = self.conv2(out)
+        out = checkpoint_name(self.conv2(out), "conv_out")
         out = self.bn2(out, use_running_average=not train, mask=bn_mask)
         out = nn.relu(out)
-        out = self.conv3(out)
+        out = checkpoint_name(self.conv3(out), "conv_out")
         out = self.bn3(out, use_running_average=not train, mask=bn_mask)
         if self.downsample:
-            residual = self.downsample_conv(x)
+            residual = checkpoint_name(self.downsample_conv(x), "conv_out")
             residual = self.downsample_bn(residual,
                                           use_running_average=not train,
                                           mask=bn_mask)
@@ -169,6 +177,12 @@ class ResNetEncoder(nn.Module):
     # saving its activations — a bandwidth lever for the train step,
     # which runs at ~97% of the HBM roofline (docs/PERFORMANCE.md)
     remat: bool = False
+    # with remat=True: None = recompute EVERYTHING from the block input
+    # (measured +19% bytes accessed — recompute round-trips HBM, r3
+    # anti-finding); "convs" = save the tagged conv outputs and
+    # recompute only the BN/ReLU elementwise chains in backward (the
+    # convs, the expensive part, are never re-run)
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_mask=None):
@@ -178,8 +192,16 @@ class ResNetEncoder(nn.Module):
         is_bottleneck = block_name == "bottleneck"
         block_cls = Bottleneck if is_bottleneck else BasicBlock
         if self.remat:
+            policy = None
+            if self.remat_policy == "convs":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "conv_out")
+            elif self.remat_policy is not None:
+                raise ValueError(
+                    f"unknown remat_policy {self.remat_policy!r}")
             # static_argnums counts (self, x, train) -> train is 2
-            block_cls = nn.remat(block_cls, static_argnums=(2,))
+            block_cls = nn.remat(block_cls, static_argnums=(2,),
+                                 policy=policy)
         expansion = (BASIC_EXPANSION if block_name == "basic"
                      else BOTTLENECK_EXPANSION)
 

@@ -13,6 +13,10 @@ training batch chosen by the round-2 sweep):
   full_remat    same, with per-block encoder rematerialization
                 (CDRNet(remat=True)) — the bandwidth lever for a step
                 running at ~97% of the HBM roofline
+  full_remat_convs  selective remat (remat_policy="convs"): conv
+                outputs saved, only BN/ReLU chains recomputed in
+                backward — the r5 structural byte-reduction attempt
+                (full recompute measured +19% bytes in r3)
 
 Timing uses host-chained steps (state carried through the loop) with a
 single scalar fetch at the end — the same pattern as bench.py --train,
@@ -154,6 +158,16 @@ def main():
 
     dt_remat = timed("full_remat", remat_step, reuse, True)
 
+    # --- selective remat: save conv outputs, recompute BN/ReLU only ---
+    model_rc = CDRNet(num_joints=19, num_layers=101, dtype=jnp.bfloat16,
+                      remat=True, remat_policy="convs")
+    full_rc = make_train_step_cdr(model_rc, loss_fn)
+
+    def remat_convs_step(state, batch):
+        return full_rc(state, batch, jnp.asarray(True))
+
+    dt_rc = timed("full_remat_convs", remat_convs_step, reuse, True)
+
     def report_cost(name, fn, dt):
         try:
             lowered = jax.jit(fn).lower(state, batch, jnp.asarray(True))
@@ -173,6 +187,10 @@ def main():
     inner_r = full_r.__wrapped__ if hasattr(full_r, "__wrapped__") else None
     report_cost("full_remat", inner_r or (lambda s, b, u: full_r(s, b, u)),
                 dt_remat)
+    inner_rc = (full_rc.__wrapped__
+                if hasattr(full_rc, "__wrapped__") else None)
+    report_cost("full_remat_convs",
+                inner_rc or (lambda s, b, u: full_rc(s, b, u)), dt_rc)
 
 
 if __name__ == "__main__":

@@ -145,13 +145,16 @@ class TestTrainCDR:
 
     def test_remat_step_matches_plain(self):
         """CDRNet(remat=True) (per-block encoder rematerialization — the
-        memory-capacity lever, docs/PERFORMANCE.md anti-finding) must be
-        numerically identical to the plain model: same param tree, same
-        loss, same gradients."""
+        memory-capacity lever, docs/PERFORMANCE.md anti-finding) and the
+        selective remat_policy="convs" variant (save conv outputs,
+        recompute only BN/ReLU chains) must be numerically identical to
+        the plain model: same param tree, same loss, same gradients."""
         batch = make_cdr_batch()
         loss_fn = make_loss("JointsMSESmooth", True)
-        models = [CDRNet(num_joints=19, num_layers=18, remat=r)
-                  for r in (False, True)]
+        models = [CDRNet(num_joints=19, num_layers=18, remat=r,
+                         remat_policy=p)
+                  for r, p in ((False, None), (True, None),
+                               (True, "convs"))]
         variables = models[0].init(jax.random.PRNGKey(0), batch["image"],
                                    batch["proj"], train=False)
         assert (jax.tree_util.tree_structure(variables) ==
@@ -164,12 +167,14 @@ class TestTrainCDR:
             s, met = make_train_step_cdr(m, loss_fn)(
                 state, batch, jnp.asarray(True))
             outs.append((s, met))
-        np.testing.assert_allclose(float(outs[0][1]["loss"]),
-                                   float(outs[1][1]["loss"]), rtol=1e-6)
-        for a, b in zip(jax.tree_util.tree_leaves(outs[0][0].params),
-                        jax.tree_util.tree_leaves(outs[1][0].params)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-5, atol=1e-7)
+        for i in (1, 2):
+            np.testing.assert_allclose(float(outs[0][1]["loss"]),
+                                       float(outs[i][1]["loss"]),
+                                       rtol=1e-6)
+            for a, b in zip(jax.tree_util.tree_leaves(outs[0][0].params),
+                            jax.tree_util.tree_leaves(outs[i][0].params)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-7)
 
     def test_eval_step_mpjpe(self):
         model = CDRNet(num_joints=19, num_layers=18)
