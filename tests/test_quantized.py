@@ -258,8 +258,9 @@ class TestCDRNetInt8:
 
         rng = np.random.RandomState(0)
         model = CDRNet(num_joints=5, num_layers=18, dtype=jnp.float32)
-        imgs = jnp.asarray(rng.randn(2, 2, 64, 64, 3), jnp.float32)
-        projs = jnp.asarray(stereo_projections(2), jnp.float32)
+        # batch 4 = the data-axis size of the 8-device mp=2 mesh
+        imgs = jnp.asarray(rng.randn(4, 2, 64, 64, 3), jnp.float32)
+        projs = jnp.asarray(stereo_projections(4), jnp.float32)
         vars_ = model.init(jax.random.PRNGKey(0), imgs, projs,
                            train=False)
         pack = qz.quantize_cdrnet(vars_, [(imgs, projs)])
