@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--checkpoint_every", type=int, default=25,
                     help="fetching 101-depth state is ~540 MB/save on "
                          "this relay; keep saves rare for wall clock")
+    ap.add_argument("--segment_epochs2d", type=int, default=None,
+                    help="stage-1 segment-graph length, decoupled from "
+                         "--checkpoint_every: lets a large checkpoint "
+                         "interval (rare saves on a slow relay link) "
+                         "keep the already-compiled small segment graph")
     ap.add_argument("--frames", type=int, default=256)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr2d", type=float, default=1e-3)
@@ -123,7 +128,8 @@ def main():
             loop2d.run, cfg2d, retries=3,
             overwrite=not args.resume, resume=args.resume,
             weights_root=weights, compute_dtype="bfloat16",
-            checkpoint_every=args.checkpoint_every)
+            checkpoint_every=args.checkpoint_every,
+            segment_epochs=args.segment_epochs2d)
         if hist2d["val_acc"]:
             print(f"stage1 (2D, {args.epochs2d} ep, "
                   f"{time.time()-t0:.0f}s): "

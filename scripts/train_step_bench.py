@@ -55,6 +55,19 @@ def _stereo_projs(batch):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated variant subset to run (e.g. "
+                         "'full,full_remat_convs') — each variant is a "
+                         "multi-minute remote compile on this relay, so "
+                         "target the comparison you need")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name):
+        return only is None or name in only
+
     from fast3dhpe_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     rng = np.random.RandomState(0)
@@ -134,12 +147,15 @@ def main():
         copied = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
                                         variables)
         return TrainState.create(copied, optax.adam(1e-4))
-    timed("fwd_eval", fwd_eval, reuse, True)
-    timed("fwd_train", fwd_train, reuse, True)
-    timed("grads", grads_only, reuse, True)
-    dt_full = timed("full", full_step, reuse, True)
+    if want("fwd_eval"):
+        timed("fwd_eval", fwd_eval, reuse, True)
+    if want("fwd_train"):
+        timed("fwd_train", fwd_train, reuse, True)
+    if want("grads"):
+        timed("grads", grads_only, reuse, True)
+    dt_full = timed("full", full_step, reuse, True) if want("full") else None
 
-    if inner is not None:
+    if inner is not None and want("full_donated"):
         donated = jax.jit(inner, donate_argnums=(0,))
 
         def donated_step(state, batch):
@@ -149,24 +165,29 @@ def main():
         timed("full_donated", donated_step, fresh, True)
 
     # --- per-block encoder remat (bandwidth lever) ---
-    model_r = CDRNet(num_joints=19, num_layers=101, dtype=jnp.bfloat16,
-                     remat=True)
-    full_r = make_train_step_cdr(model_r, loss_fn)
+    dt_remat = full_r = None
+    if want("full_remat"):
+        model_r = CDRNet(num_joints=19, num_layers=101,
+                         dtype=jnp.bfloat16, remat=True)
+        full_r = make_train_step_cdr(model_r, loss_fn)
 
-    def remat_step(state, batch):
-        return full_r(state, batch, jnp.asarray(True))
+        def remat_step(state, batch):
+            return full_r(state, batch, jnp.asarray(True))
 
-    dt_remat = timed("full_remat", remat_step, reuse, True)
+        dt_remat = timed("full_remat", remat_step, reuse, True)
 
     # --- selective remat: save conv outputs, recompute BN/ReLU only ---
-    model_rc = CDRNet(num_joints=19, num_layers=101, dtype=jnp.bfloat16,
-                      remat=True, remat_policy="convs")
-    full_rc = make_train_step_cdr(model_rc, loss_fn)
+    dt_rc = full_rc = None
+    if want("full_remat_convs"):
+        model_rc = CDRNet(num_joints=19, num_layers=101,
+                          dtype=jnp.bfloat16, remat=True,
+                          remat_policy="convs")
+        full_rc = make_train_step_cdr(model_rc, loss_fn)
 
-    def remat_convs_step(state, batch):
-        return full_rc(state, batch, jnp.asarray(True))
+        def remat_convs_step(state, batch):
+            return full_rc(state, batch, jnp.asarray(True))
 
-    dt_rc = timed("full_remat_convs", remat_convs_step, reuse, True)
+        dt_rc = timed("full_remat_convs", remat_convs_step, reuse, True)
 
     def report_cost(name, fn, dt):
         try:
@@ -183,14 +204,19 @@ def main():
         except Exception as e:
             print(f"cost_analysis[{name}] unavailable:", e)
 
-    report_cost("full", inner or (lambda s, b, u: full(s, b, u)), dt_full)
-    inner_r = full_r.__wrapped__ if hasattr(full_r, "__wrapped__") else None
-    report_cost("full_remat", inner_r or (lambda s, b, u: full_r(s, b, u)),
-                dt_remat)
-    inner_rc = (full_rc.__wrapped__
-                if hasattr(full_rc, "__wrapped__") else None)
-    report_cost("full_remat_convs",
-                inner_rc or (lambda s, b, u: full_rc(s, b, u)), dt_rc)
+    if dt_full is not None:
+        report_cost("full", inner or (lambda s, b, u: full(s, b, u)),
+                    dt_full)
+    if dt_remat is not None:
+        inner_r = (full_r.__wrapped__
+                   if hasattr(full_r, "__wrapped__") else None)
+        report_cost("full_remat",
+                    inner_r or (lambda s, b, u: full_r(s, b, u)), dt_remat)
+    if dt_rc is not None:
+        inner_rc = (full_rc.__wrapped__
+                    if hasattr(full_rc, "__wrapped__") else None)
+        report_cost("full_remat_convs",
+                    inner_rc or (lambda s, b, u: full_rc(s, b, u)), dt_rc)
 
 
 if __name__ == "__main__":
