@@ -44,7 +44,11 @@ class CDRNetInferencer:
     def __init__(self, config, weights_root: str = "weights",
                  dtype=jnp.float32, fused_inference: bool = False,
                  variables=None, int8: bool = False, calib_stream=None,
-                 calib_batches: int = 2, int8_pack: str = None):
+                 calib_batches: int = 8, int8_pack: str = None):
+        # calib_batches default 8: the PTQ penalty grows with checkpoint
+        # sharpness and shrinks with calibration data — at the 55.3 mm
+        # flagship, 2 batches cost +4.2 mm 3D where 8 cost +1.7 and 16
+        # +1.4 (BASELINE.md "Int8 PTQ serving accuracy", r5)
         self.config = config
         self.model = CDRNet.from_config(config, dtype=dtype,
                                         fused_inference=fused_inference)
@@ -280,6 +284,11 @@ def main():
                              "it exists (skips calibration AND the fp "
                              "checkpoint), written after calibration "
                              "otherwise")
+    parser.add_argument("--calib_batches", type=int, default=8,
+                        help="PTQ calibration batches (sharp checkpoints "
+                             "need >=8: 2 batches cost +4.2 mm 3D on the "
+                             "55.3 mm flagship vs +1.4 at 16 — "
+                             "BASELINE.md)")
     args = parser.parse_args()
     if args.fused_inference and not args.bf16:
         parser.error("--fused_inference requires --bf16 (the Pallas "
@@ -309,6 +318,7 @@ def main():
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         fused_inference=args.fused_inference,
         int8=args.int8, calib_stream=calib_stream,
+        calib_batches=args.calib_batches,
         int8_pack=args.int8_pack)
 
     tot2 = tot3 = total_frames = 0.0

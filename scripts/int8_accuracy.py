@@ -72,7 +72,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval_batch", type=int, default=16)
-    ap.add_argument("--calib_batches", type=int, default=2)
+    ap.add_argument("--calib_batches", type=int, default=8,
+                    help="sharp checkpoints need >=8 (r5 finding: 2 "
+                         "batches cost +4.2 mm on the 55.3 mm flagship "
+                         "vs +1.4 at 16)")
     ap.add_argument("--workdir", type=str, default=None)
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse existing checkpoint in workdir")
