@@ -120,6 +120,17 @@ def run_with_retries(run_fn: Callable, config, retries: int = 0,
     completes; if it was genuinely transient, the first same-shape
     retry already caught it. Callers that pass their own scan_epochs
     keep it for the first retry and are still degraded after.
+
+    Why the ladder has no intermediate segment sizes (r5 decision):
+    scripts/segment_probe.py mapped the CDR-101 segment compile cliff —
+    E=8 compiles where E=25 crashes, but the E=8 compile takes 36.6 min
+    on this relay while scan-epoch compiles in ~1 min at ~same
+    steady-state throughput for sub-1000-epoch runs. A retry ladder
+    must REDUCE compile cost at every step (a retry that pays a
+    half-hour compile before its first checkpoint risks a second crash
+    with nothing banked), so segments degrade straight to scan-epoch;
+    --segment_epochs remains an explicit opt-in for marathon runs
+    (docs/PERFORMANCE.md "segment execution probed").
     """
     log = logger or logging.getLogger("fast3dhpe")
     import jax
