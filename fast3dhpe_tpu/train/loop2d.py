@@ -125,9 +125,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         segments: Optional[bool] = None,
         checkpoint_every: int = 1,
         segment_epochs: Optional[int] = None,
-        async_checkpoint: bool = False) -> Dict:
+        async_checkpoint: bool = False,
+        early_stop_patience: Optional[int] = None) -> Dict:
     """Train PoseResNet; returns a history dict (losses/accs per epoch).
 
+    early_stop_patience: if set, stop once val PCK has not improved for
+    this many epochs (segment-granularity on the segment path) — see
+    loop_cdr.run. Checkpoints are still written at the stop point.
     segments: None (auto) / False — see loop_cdr.run: False keeps
     scan-EPOCH dispatches without batching inter-checkpoint spans into
     one segment graph.
@@ -247,6 +251,9 @@ def run(config: Config, mesh=None, overwrite: bool = False,
 
     n_epochs = max_epochs if max_epochs is not None else config.TRAIN.EPOCH
     best_state, best_dirty = state, False
+    # early-stop bookkeeping (0-based epoch of the last val best; a
+    # resume restarts the patience window from the resumed epoch)
+    last_best_epoch = start_epoch - 1
     ckpt = make_checkpoint_writer(async_checkpoint)
     ev_stacked_saved = None
     history = {"train_loss": [], "val_loss": [], "train_acc": [],
@@ -264,7 +271,8 @@ def run(config: Config, mesh=None, overwrite: bool = False,
         """Segment path (see loop_cdr._run_segments): each span between
         checkpoint boundaries is one dispatch; best val-PCK state is
         selected on device (steps.make_segment_2d)."""
-        nonlocal state, best_state, best_dirty, best_acc, global_step
+        nonlocal state, best_state, best_dirty, best_acc, global_step, \
+            last_best_epoch
         vcache, vxs, _ = valid_loader.stacked_epoch()
         vxs = _epoch_slice(vxs)
         if mesh is not None:
@@ -322,13 +330,18 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                             seg_ips, vl, va, dt)
                 if bool(msh["improved"][j]):
                     logger.info("New best (val acc %.4f)", va)
+                    last_best_epoch = epoch + j
             new_best = float(jax.device_get(best_acc_dev))
             if new_best > best_acc:
                 best_acc = new_best
                 best_dirty = True
             epoch = boundary
-            # save only on the checkpoint grid (or at the end)
-            if epoch % checkpoint_every != 0 and epoch != n_epochs:
+            stop = (early_stop_patience is not None
+                    and (epoch - 1) - last_best_epoch
+                    >= early_stop_patience)
+            # save only on the checkpoint grid (or at the end/stop)
+            if not stop and epoch % checkpoint_every != 0 \
+                    and epoch != n_epochs:
                 continue
             if best_dirty:
                 ckpt.save(os.path.join(model_path, "best"),
@@ -337,6 +350,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                 logger.info("Saved best (val acc %.4f)", best_acc)
             ckpt.save(os.path.join(model_path, "latest"),
                       _state_tree(state, best_acc))
+            if stop:
+                logger.info(
+                    "Early stop at epoch %d: no val improvement for %d "
+                    "epochs (best acc %.4f at epoch %d)", epoch,
+                    (epoch - 1) - last_best_epoch, best_acc,
+                    last_best_epoch + 1)
+                break
 
     try:
         with interruptible():   # SIGTERM -> KeyboardInterrupt
@@ -439,9 +459,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                     # 101-depth state is ~540 MB off-device
                     best_acc = va
                     best_state, best_dirty = state, True
+                    last_best_epoch = epoch
                     logger.info("New best (val acc %.4f)", va)
+                stop = (early_stop_patience is not None
+                        and epoch - last_best_epoch
+                        >= early_stop_patience)
                 if (epoch + 1) % checkpoint_every == 0 or \
-                        epoch + 1 == n_epochs:
+                        epoch + 1 == n_epochs or stop:
                     if best_dirty:
                         ckpt.save(os.path.join(model_path, "best"),
                                   _state_tree(best_state, best_acc))
@@ -450,6 +474,13 @@ def run(config: Config, mesh=None, overwrite: bool = False,
                     ckpt.save(
                         os.path.join(model_path, "latest"),
                         _state_tree(state, best_acc))
+                if stop:
+                    logger.info(
+                        "Early stop at epoch %d: no val improvement "
+                        "for %d epochs (best acc %.4f at epoch %d)",
+                        epoch + 1, epoch - last_best_epoch, best_acc,
+                        last_best_epoch + 1)
+                    break
 
     except KeyboardInterrupt:
         logger.warning("Interrupted — saving latest checkpoint "

@@ -102,6 +102,24 @@ class TestTrainCDREndToEnd:
 
 @pytest.mark.slow
 class TestTrain2DEndToEnd:
+    def test_early_stop_patience_2d(self, mads_root, tmp_path):
+        # mirrors the CDR test: frozen params (LR=0) pin val PCK after
+        # the first best, so a tight patience ends the 30-epoch
+        # schedule early and still writes checkpoints
+        cfg = tiny_cfg(mads_root, dataset_type="MADS_2d", epochs=30,
+                       name="es2d_test")
+        cfg.LOSS.TYPE = "JointsMSE"
+        cfg.TRAIN.LR = 0.0
+        weights_root = str(tmp_path / "weights")
+        history = loop2d.run(cfg, overwrite=True,
+                             weights_root=weights_root, seed=0,
+                             early_stop_patience=2)
+        n = len(history["val_acc"])
+        assert n < 30, "early stop never triggered"
+        assert n >= 2
+        model_dir = os.path.join(weights_root, cfg.MODEL.NAME)
+        assert os.path.isdir(os.path.join(model_dir, "latest"))
+
     def test_mads2d_training_learns(self, mads_root, tmp_path):
         cfg = tiny_cfg(mads_root, dataset_type="MADS_2d", epochs=4,
                        name="e2e_2d")
